@@ -1,0 +1,216 @@
+package graft.fetch
+
+import graft.functions.UrlFns
+import graft.model.Model._
+
+/**
+ * Event correlation — the reference's central join, `ActionsFromEvents`
+ * (/root/reference/worker.go:1022-1094), plus Page→Doc span flattening.
+ *
+ * Correlation is PER PAGE: all events of a page live in one row's arrays,
+ * so at scale this runs inside the fetch `mapPartitions` with ZERO shuffle
+ * (the "join" never crosses rows — a deliberate Spark-first design choice;
+ * a DataFrame-join formulation of the same semantics is exposed through
+ * SparkEntry queries for the oracle).
+ *
+ * Semantics mirrored exactly:
+ *  - requests processed in arrival order (worker.go:1026-1050);
+ *  - `data:` scheme skipped (worker.go:1032-1034);
+ *  - a request whose loader_id matches a PRIOR request_id parents onto that
+ *    action (worker.go:1043-1046);
+ *  - first response / FIRST error only per request (worker.go:1052-1070);
+ *  - initiator classification: parent status 300-399 → `redirect`; no
+ *    parent → `user`; otherwise the event's own kind (worker.go:1081-1091).
+ */
+object Correlate {
+
+  /** "text/"-prefixed bodies only — the reference's default store allowlist
+    * (store/store.go:36-38). */
+  def mimeAllowed(mime: String): Boolean =
+    mime != null && (mime.startsWith("text/") || mime == "text/html")
+
+  def actionsFromEvents(fr: FetchResult): Seq[Action] = {
+    val respByRid = new java.util.HashMap[String, RespEvent]()
+    fr.responses.foreach(r => respByRid.putIfAbsent(r.request_id, r))
+    val errByRid = new java.util.HashMap[String, ErrEvent]()
+    fr.errors.foreach(e => errByRid.putIfAbsent(e.request_id, e))
+    val bodyByRid = new java.util.HashMap[String, BodyEvent]()
+    fr.bodies.foreach(b => bodyByRid.putIfAbsent(b.request_id, b))
+
+    val ridToIdx = new java.util.HashMap[String, Int]()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Action]
+    val reqs = fr.requests.sortBy(_.ts) // arrival order; ts is the virtual clock
+
+    reqs.foreach { req =>
+      if (!req.url.startsWith("data:")) {
+        val idx = out.length
+        val parentIdx: Int =
+          if (req.loader_id.nonEmpty && ridToIdx.containsKey(req.loader_id) &&
+            req.loader_id != req.request_id) ridToIdx.get(req.loader_id)
+          else -1
+        val resp = respByRid.get(req.request_id)
+        val err = errByRid.get(req.request_id)
+        val body = bodyByRid.get(req.request_id)
+
+        val parentStatus = if (parentIdx >= 0) out(parentIdx).status else -1
+        val initiator =
+          if (parentStatus >= 300 && parentStatus < 400) "redirect"
+          else if (parentIdx < 0) "user"
+          else req.initiator_kind
+
+        val (sha, size, mimeDet, bodyText) =
+          if (body == null) ("", 0L, "", "")
+          else {
+            val det = UrlFns.sniffMime(body.body)
+            val text =
+              if (det.startsWith("text/"))
+                new String(body.body, java.nio.charset.StandardCharsets.UTF_8)
+              else ""
+            (UrlFns.sha256Hex(body.body), body.body.length.toLong, det, text)
+          }
+
+        out += Action(
+          idx = idx,
+          parent_idx = parentIdx,
+          request_id = req.request_id,
+          url = req.url,
+          method = req.method,
+          initiator_kind = initiator,
+          stack_func = req.stack_func,
+          stack_line = req.stack_line,
+          stack_col = req.stack_col,
+          req_headers = req.headers,
+          post_data = req.post_data,
+          status = if (resp == null) 0 else resp.status,
+          resp_headers = if (resp == null) Map.empty else resp.headers,
+          mime_browser = if (resp == null) "" else resp.mime,
+          protocol = if (resp == null) "" else resp.protocol,
+          sec_protocol = if (resp == null) "" else resp.sec_protocol,
+          sec_key_exchange = if (resp == null) "" else resp.sec_key_exchange,
+          sec_issuer = if (resp == null) "" else resp.sec_issuer,
+          sec_cipher = if (resp == null) "" else resp.sec_cipher,
+          sec_san_list = if (resp == null) Seq.empty else resp.sec_san_list,
+          sec_subject = if (resp == null) "" else resp.sec_subject,
+          sec_valid_from = if (resp == null) 0L else resp.sec_valid_from,
+          sec_valid_to = if (resp == null) 0L else resp.sec_valid_to,
+          error = if (err == null) "" else err.error,
+          body_sha256 = sha,
+          body_size = size,
+          mime_determined = mimeDet,
+          body_text = bodyText)
+        ridToIdx.put(req.request_id, idx)
+      }
+    }
+    out.toSeq
+  }
+
+  /** Assemble a [[Session]]: page error = first action's error
+    * (worker.go:640-642); links from the first body-bearing action
+    * (tested semantics of worker.go:644-646 + parsing_test.go). */
+  def sessionFromFetch(docId: String, fr: FetchResult): Session = {
+    val actions = actionsFromEvents(fr)
+    val err = actions.headOption.map(_.error).getOrElse("")
+    val primaryBody = actions.find(a => a.body_text.nonEmpty)
+    val links = primaryBody
+      .map(a => Parsing.retrieveLinks(a.url, a.body_text))
+      .getOrElse(Seq.empty)
+    Session(
+      doc_id = docId,
+      url = fr.url,
+      host = Option(UrlFns.hostOf(fr.url)).getOrElse(""),
+      actions = actions,
+      console = fr.console,
+      screenshots = fr.screenshots,
+      error = err,
+      links = links,
+      navigate_ts = fr.navigate_ts,
+      loaded_ts = fr.loaded_ts,
+      terminated_ts = fr.terminated_ts,
+      resolution_w = 1366,
+      resolution_h = 768)
+  }
+
+  /** Content-store path for an allowlisted body (content-addressed like
+    * store/file.go:89-95: hash-prefixed dir). */
+  def bodyRef(sha256: String, mime: String): String =
+    if (sha256.nonEmpty && mimeAllowed(mime)) s"bodies/${sha256.substring(0, 2)}/$sha256"
+    else ""
+
+  /**
+   * Flatten a Session to the interleaved-span Doc (input_hint shape).
+   * Span order — the per-row invariant (kind, text, media_ref, order):
+   * per action (request arrival order): request → response → body → error
+   * spans; then console spans in seq order (store/store.go:185); then media
+   * spans by taken order. All payloads render via [[Json]] with sorted keys.
+   */
+  def docFromSession(s: Session): Doc = {
+    val spans = scala.collection.mutable.ArrayBuffer.empty[Span]
+    def add(kind: String, text: String, mediaRef: String = ""): Unit =
+      spans += Span(kind, text, mediaRef, spans.length)
+
+    s.actions.foreach { a =>
+      add("request", Json.obj(
+        "idx" -> Json.num(a.idx.toLong),
+        "parent_idx" -> Json.num(a.parent_idx.toLong),
+        "url" -> Json.str(a.url),
+        "method" -> Json.str(a.method),
+        "initiator" -> Json.obj(
+          "kind" -> Json.str(a.initiator_kind),
+          "func" -> Json.str(a.stack_func),
+          "line" -> Json.num(a.stack_line.toLong),
+          "col" -> Json.num(a.stack_col.toLong)),
+        "headers" -> Json.sortedMap(a.req_headers),
+        "post_data" -> Json.str(a.post_data)))
+      if (a.status > 0) {
+        val secFields =
+          if (a.sec_protocol.nonEmpty) Seq(
+            "sec" -> Json.obj(
+              "protocol" -> Json.str(a.sec_protocol),
+              "key_exchange" -> Json.str(a.sec_key_exchange),
+              "issuer" -> Json.str(a.sec_issuer),
+              "cipher" -> Json.str(a.sec_cipher),
+              "san_list" -> Json.arr(a.sec_san_list.map(Json.str)),
+              "subject" -> Json.str(a.sec_subject),
+              "valid_from" -> Json.num(a.sec_valid_from),
+              "valid_to" -> Json.num(a.sec_valid_to)))
+          else Seq.empty
+        add("response", Json.obj(Seq(
+          "idx" -> Json.num(a.idx.toLong),
+          "status" -> Json.num(a.status.toLong),
+          "mime" -> Json.str(a.mime_browser),
+          "protocol" -> Json.str(a.protocol),
+          "headers" -> Json.sortedMap(a.resp_headers)) ++ secFields: _*))
+      }
+      if (a.body_sha256.nonEmpty) {
+        add("body", Json.obj(
+          "idx" -> Json.num(a.idx.toLong),
+          "sha256" -> Json.str(a.body_sha256),
+          "size" -> Json.num(a.body_size),
+          "mime_browser" -> Json.str(a.mime_browser),
+          "mime_determined" -> Json.str(a.mime_determined),
+          "text" -> Json.str(a.body_text)),
+          bodyRef(a.body_sha256, a.mime_determined))
+      }
+      if (a.error.nonEmpty) {
+        add("error", Json.obj(
+          "idx" -> Json.num(a.idx.toLong),
+          "error" -> Json.str(a.error)))
+      }
+    }
+    s.console.zipWithIndex.foreach { case (c, i) =>
+      add("console", Json.obj(
+        "seq" -> Json.num((i + 1).toLong),
+        "msg" -> Json.str(c.msg),
+        "line" -> Json.num(c.line.toLong),
+        "col" -> Json.num(c.col.toLong),
+        "func" -> Json.str(c.func),
+        "url" -> Json.str(c.url)))
+    }
+    s.screenshots.foreach { ref =>
+      add("media", Json.obj(
+        "kind" -> Json.str("png"),
+        "resolution" -> Json.str(s"${s.resolution_w}x${s.resolution_h}")), ref)
+    }
+    Doc(s.doc_id, spans.toSeq)
+  }
+}

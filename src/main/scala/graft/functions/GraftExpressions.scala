@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Custom Catalyst expressions for the URL / mime scalar surface the engine
+ * needs beyond Spark built-ins (SURVEY.md §4 items 1-3). Each stays inside
+ * whole-stage codegen: `doGenCode` emits a direct static call into
+ * [[UrlFns]] — no UDF boxing, no codegen fallback on the hot path.
+ *
+ * Null semantics: standard null-in → null-out (UnaryExpression /
+ * BinaryExpression nullSafe machinery), matching the reference's skip-host
+ * behavior on unparseable input (store/store.go:330-344).
+ */
+object GraftExpressions {
+
+  /** Codegen helper bridging UTF8String <-> java.lang.String. */
+  private def strCall(fn: String, args: String*): String =
+    s"UTF8String.fromString(graft.functions.UrlFns.$fn(${args.mkString(", ")}))"
+
+  case class Etld1(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "etld1"
+    override def nullSafeEval(v: Any): Any = {
+      val r = UrlFns.etld1(v.asInstanceOf[UTF8String].toString)
+      if (r == null) null else UTF8String.fromString(r)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        s"""
+           |String ${ev.value}Str = graft.functions.UrlFns.etld1($c.toString());
+           |if (${ev.value}Str == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = UTF8String.fromString(${ev.value}Str); }
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  case class PublicSuffix(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "public_suffix"
+    override def nullSafeEval(v: Any): Any = {
+      val r = UrlFns.publicSuffix(v.asInstanceOf[UTF8String].toString)
+      if (r == null) null else UTF8String.fromString(r)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        s"""
+           |String ${ev.value}Str = graft.functions.UrlFns.publicSuffix($c.toString());
+           |if (${ev.value}Str == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = UTF8String.fromString(${ev.value}Str); }
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  case class ResolveUrl(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "resolve_url"
+    override def nullSafeEval(base: Any, href: Any): Any = {
+      val r = UrlFns.resolveUrl(
+        base.asInstanceOf[UTF8String].toString,
+        href.asInstanceOf[UTF8String].toString)
+      if (r == null) null else UTF8String.fromString(r)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (b, h) => {
+        s"""
+           |String ${ev.value}Str = graft.functions.UrlFns.resolveUrl($b.toString(), $h.toString());
+           |if (${ev.value}Str == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = UTF8String.fromString(${ev.value}Str); }
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  case class UrlHost(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "url_host"
+    override def nullSafeEval(v: Any): Any = {
+      val r = UrlFns.hostOf(v.asInstanceOf[UTF8String].toString)
+      if (r == null) null else UTF8String.fromString(r)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        s"""
+           |String ${ev.value}Str = graft.functions.UrlFns.hostOf($c.toString());
+           |if (${ev.value}Str == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = UTF8String.fromString(${ev.value}Str); }
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  case class SniffMime(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "sniff_mime"
+    override def nullSafeEval(v: Any): Any =
+      UTF8String.fromString(UrlFns.sniffMime(v.asInstanceOf[Array[Byte]]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"UTF8String.fromString(graft.functions.UrlFns.sniffMime($c))")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Register all custom functions for SQL + `call_function` use. Idempotent. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("etld1", es => Etld1(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("public_suffix", es => PublicSuffix(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("resolve_url", es => ResolveUrl(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("url_host", es => UrlHost(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("sniff_mime", es => SniffMime(es.head), "scala_udf")
+  }
+
+  // Column-API wrappers (require register(spark) once per session)
+  def etld1(c: Column): Column = call_function("etld1", c)
+  def public_suffix(c: Column): Column = call_function("public_suffix", c)
+  def resolve_url(base: Column, href: Column): Column = call_function("resolve_url", base, href)
+  def url_host(c: Column): Column = call_function("url_host", c)
+  def sniff_mime(c: Column): Column = call_function("sniff_mime", c)
+}

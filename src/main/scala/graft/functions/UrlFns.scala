@@ -1,0 +1,194 @@
+package graft.functions
+
+/**
+ * Pure scalar logic behind the engine's custom expressions. Kept as static
+ * JVM methods so Catalyst codegen can call them directly from generated
+ * code (see [[GraftExpressions]]) and the fetch simulator / tests can call
+ * them without a SparkSession.
+ *
+ * Reference semantics:
+ *  - eTLD+1 / public suffix: replaces golang.org/x/net/publicsuffix as used
+ *    at /root/reference/store/store.go:339-344 (embedded subset of the
+ *    public ICANN suffix list — offline container, no lib).
+ *  - URL resolution: /root/reference/parsing.go:78-86.
+ *  - mime sniffing: magic-byte subset of Go's http.DetectContentType as used
+ *    at /root/reference/store/file.go:125.
+ *  - domain normalization: lower+trim, /root/reference/kraaler.go:38-40.
+ */
+object UrlFns {
+
+  /** Embedded subset of the public ICANN suffix list. Two-level entries
+    * first-class; everything else falls back to the last label (the PSL
+    * "*" default rule). */
+  private val twoLevelSuffixes: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq(
+      "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk", "plc.uk",
+      "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+      "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+      "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz",
+      "com.br", "net.br", "org.br", "gov.br",
+      "co.in", "net.in", "org.in", "gen.in", "firm.in",
+      "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
+      "co.kr", "or.kr", "ne.kr", "re.kr", "go.kr",
+      "com.mx", "org.mx", "net.mx",
+      "com.ar", "com.tr", "com.sg", "com.hk", "com.tw",
+      "co.za", "org.za", "gov.za", "web.za",
+      "co.il", "org.il", "ac.il",
+      "com.pl", "net.pl", "org.pl",
+      "com.ru", "net.ru", "org.ru"
+    ).foreach(s.add)
+    s
+  }
+
+  def normalizeDomain(d: String): String =
+    if (d == null) null else d.trim.toLowerCase
+
+  private def isIpLike(host: String): Boolean = {
+    if (host.indexOf(':') >= 0) return true // ipv6
+    var allNumericDots = true
+    var i = 0
+    while (i < host.length && allNumericDots) {
+      val c = host.charAt(i)
+      if (!(c == '.' || (c >= '0' && c <= '9'))) allNumericDots = false
+      i += 1
+    }
+    allNumericDots && host.nonEmpty
+  }
+
+  /** Public suffix of `host` under the embedded PSL subset, or null when
+    * host is empty / an IP / has no dot at all. */
+  def publicSuffix(host0: String): String = {
+    if (host0 == null) return null
+    val host = normalizeDomain(host0)
+    if (host.isEmpty || isIpLike(host)) return null
+    val labels = host.split('.')
+    if (labels.length < 2 || labels.exists(_.isEmpty)) return null
+    val last2 = labels(labels.length - 2) + "." + labels(labels.length - 1)
+    if (twoLevelSuffixes.contains(last2)) last2 else labels(labels.length - 1)
+  }
+
+  /** eTLD+1 (registrable domain): one label more than the public suffix.
+    * null when the host IS a bare suffix or unparseable — mirrors
+    * publicsuffix.EffectiveTLDPlusOne error behavior, which makes the
+    * reference skip the host dim row (store/store.go:339-344). */
+  def etld1(host0: String): String = {
+    val suffix = publicSuffix(host0)
+    if (suffix == null) return null
+    val host = normalizeDomain(host0)
+    if (host == suffix) return null
+    val prefix = host.substring(0, host.length - suffix.length - 1)
+    val lastDot = prefix.lastIndexOf('.')
+    val label = if (lastDot < 0) prefix else prefix.substring(lastDot + 1)
+    if (label.isEmpty) null else label + "." + suffix
+  }
+
+  /** Href keep-filter of the reference link extractor: `^/[a-zA-Z]+` or an
+    * absolute http(s) URL (parsing.go:17-42, 46). */
+  def isKeepableHref(href: String): Boolean = {
+    if (href == null || href.isEmpty) return false
+    if (href.startsWith("http://") || href.startsWith("https://")) return true
+    href.length >= 2 && href.charAt(0) == '/' && {
+      val c = href.charAt(1)
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+    }
+  }
+
+  /** Resolve `href` against `base` (parsing.go:78-86: absolute hrefs pass
+    * through; `/path` resolves onto the base scheme+host). Returns null for
+    * hrefs the reference would drop or on parse failure. */
+  def resolveUrl(base: String, href: String): String = {
+    if (base == null || href == null) return null
+    if (!isKeepableHref(href)) return null
+    if (href.startsWith("http://") || href.startsWith("https://")) return href
+    try {
+      val u = new java.net.URI(base)
+      if (u.getScheme == null || u.getHost == null) return null
+      val port = if (u.getPort >= 0) ":" + u.getPort else ""
+      u.getScheme + "://" + u.getHost + port + href
+    } catch { case _: Exception => null }
+  }
+
+  /** Host (authority minus port) of an absolute URL, null if unparseable. */
+  def hostOf(url: String): String = {
+    if (url == null) return null
+    try {
+      val h = new java.net.URI(url).getHost
+      if (h == null) null else h.toLowerCase
+    } catch { case _: Exception => null }
+  }
+
+  /** Magic-byte mime sniff — subset of Go http.DetectContentType
+    * (store/file.go:125). Operates on the first 512 bytes. */
+  def sniffMime(body: Array[Byte]): String = {
+    if (body == null) return null
+    if (body.length == 0) return "text/plain"
+    val n = math.min(body.length, 512)
+    // skip leading whitespace for the html checks (Go sniffs likewise)
+    var st = 0
+    while (st < n && (body(st) == ' ' || body(st) == '\t' || body(st) == '\n' ||
+      body(st) == '\r' || body(st) == '\f')) st += 1
+    def asciiUpperPrefix(off: Int, len: Int): String = {
+      val end = math.min(off + len, n)
+      val sb = new java.lang.StringBuilder(end - off)
+      var i = off
+      while (i < end) {
+        val c = body(i).toChar
+        sb.append(if (c >= 'a' && c <= 'z') (c - 32).toChar else c)
+        i += 1
+      }
+      sb.toString
+    }
+    val htmlTags = Array("<!DOCTYPE HTML", "<HTML", "<HEAD", "<SCRIPT",
+      "<IFRAME", "<H1", "<DIV", "<FONT", "<TABLE", "<A", "<STYLE", "<TITLE",
+      "<B", "<BODY", "<BR", "<P", "<!--")
+    val up = asciiUpperPrefix(st, 16)
+    var ti = 0
+    while (ti < htmlTags.length) {
+      val t = htmlTags(ti)
+      if (up.startsWith(t)) {
+        // Go requires a tag-terminating byte (space or '>') except comments
+        val after = st + t.length
+        if (t == "<!--" || (after < n && (body(after) == ' '.toByte || body(after) == '>'.toByte)) ||
+            up.length > t.length && (up.charAt(t.length) == ' ' || up.charAt(t.length) == '>'))
+          return "text/html"
+      }
+      ti += 1
+    }
+    def hasPrefix(p: Array[Int]): Boolean = {
+      if (n < p.length) return false
+      var i = 0
+      while (i < p.length) { if ((body(i) & 0xff) != p(i)) return false; i += 1 }
+      true
+    }
+    if (hasPrefix(Array('%', 'P', 'D', 'F', '-'))) return "application/pdf"
+    if (hasPrefix(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))) return "image/png"
+    if (hasPrefix(Array('G', 'I', 'F', '8', '7', 'a')) ||
+        hasPrefix(Array('G', 'I', 'F', '8', '9', 'a'))) return "image/gif"
+    if (hasPrefix(Array(0xff, 0xd8, 0xff))) return "image/jpeg"
+    if (hasPrefix(Array('P', 'K', 0x03, 0x04))) return "application/zip"
+    if (hasPrefix(Array(0x1f, 0x8b, 0x08))) return "application/x-gzip"
+    if (hasPrefix(Array('R', 'I', 'F', 'F'))) return "audio/wave"
+    if (hasPrefix(Array('O', 'g', 'g', 'S'))) return "application/ogg"
+    // printable scan → text/plain else binary
+    var i = 0
+    var binary = false
+    while (i < n && !binary) {
+      val b = body(i) & 0xff
+      if (b < 0x09 || (b > 0x0d && b < 0x20 && b != 0x1b)) binary = true
+      i += 1
+    }
+    if (binary) "application/octet-stream" else "text/plain"
+  }
+
+  def sha256Hex(bytes: Array[Byte]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val d = md.digest(bytes)
+    val sb = new java.lang.StringBuilder(64)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
+  def sha256Hex(s: String): String =
+    sha256Hex(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+}
