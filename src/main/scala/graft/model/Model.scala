@@ -132,6 +132,21 @@ object Model {
       mime_determined: String,
       body_text: String) // decoded body when text/*, else ""
 
+  /** Fetch-stage output row: the Doc plus the scheduling metadata the
+    * frontier expansion needs (links, depth, error). */
+  case class CrawlOut(
+      doc_id: String,
+      url: String,
+      host: String,
+      depth: Int,
+      round: Int,
+      spans: Seq[Span],
+      links: Seq[String],
+      error: String,
+      navigate_ts: Double,
+      loaded_ts: Double,
+      terminated_ts: Double)
+
   /** A fully correlated page, pre-Doc (kraaler `Page`, kraaler.go:157-170). */
   case class Session(
       doc_id: String,
