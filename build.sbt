@@ -26,5 +26,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] with cached fetch rounds needs real heap; the box has 128 GiB.
+  // Xms=Xmx: heap-growth pauses would otherwise pollute the scaling bench.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // ParallelGC: the fetch stage is allocation-heavy; G1's concurrent
+  // cycles cost ~2x wall at 32 threads on this box (measured)
+  "-XX:+UseParallelGC",
+  // large young gen: the fetch stage allocates short-lived span/JSON
+  // buffers at GB/s; a big eden keeps survivors near zero
+  "-Xmn24g",
 )

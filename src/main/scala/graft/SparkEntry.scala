@@ -1,15 +1,27 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftExpressions
+import graft.operators.{Dedup, Similarity, TextOps}
 
 /**
  * Driver contract (SURVEY.md §7.0): `entry` is the flagship query;
- * `queries` maps operator names (SURVEY.md §2) to DataFrame builders over
- * a testdata sf dir; `oracleSql` gives DuckDB-equivalent SQL per query.
- * Column names are aliased identically on both sides (driver hash-compares
- * by sorted column name).
+ * `queries` maps operator names (SURVEY.md §2 + training-data ops) to
+ * DataFrame builders over a testdata sf dir; `oracleSql` gives
+ * DuckDB-equivalent SQL per query. Column names are aliased identically on
+ * both sides (the driver hash-compares by sorted column name); float
+ * results are rounded to 6 decimals on both sides.
+ *
+ * Queries q03-q10 express the crawl-engine operator semantics (anti-join
+ * seen-set, top-k pop, fairness weights, dictionary encode, JSON feed
+ * decode, chain self-join, union fan-in, URL decomposition) over the
+ * TPC-H-ish tables so DuckDB can verify them; q20+ are the training-data
+ * pipeline operators (dedup family, text analysis, similarity search).
+ * Non-SQL-expressible variants (sign-LSH ANN, SimHash, IVF) ship without
+ * an oracle → driver records a rows-only check; their semantics are
+ * covered by OperatorsSpec instead.
  */
 object SparkEntry {
 
@@ -21,7 +33,7 @@ object SparkEntry {
     queries("q01_pricing_agg")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // O13/§2.5 aggregates: classic scan→filter→agg (TPC-H Q1 shape).
+    // §2.5 aggregates: classic scan→filter→agg (TPC-H Q1 shape).
     "q01_pricing_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
@@ -34,8 +46,8 @@ object SparkEntry {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
-    // O5 host-dim normalization: custom Catalyst `etld1` expression over
-    // synthesized hosts (store/store.go:339-344 semantics).
+    // O5 host-dim normalization: custom Catalyst `etld1` expression
+    // (store/store.go:339-344 semantics).
     "q02_etld1_hosts" -> ((s, dir) => {
       GraftExpressions.register(s)
       t(s, dir, "customer")
@@ -43,8 +55,191 @@ object SparkEntry {
         .select(col("c_custkey"),
           GraftExpressions.etld1(col("host")).as("registrable"))
         .orderBy(col("c_custkey"))
-    })
-  )
+    }),
+
+    // F1/F8 seen-set anti-join (urlStore.Add / FilterKnown).
+    "q03_frontier_antijoin" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .select("c_custkey").orderBy("c_custkey")
+    }),
+
+    // F3 frontier pop: per-host top-k by (depth, discovered_at) →
+    // per-custkey top-2 orders by (o_orderdate, o_orderkey).
+    "q04_pop_topk_per_group" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_orderdate"), col("o_orderkey"))))
+        .filter(col("rk") <= 2)
+        .withColumn("rk", col("rk").cast("long"))
+        .select("o_custkey", "o_orderkey", "rk")
+        .orderBy("o_custkey", "rk")
+    }),
+
+    // F5 PairSampler fairness weights: base/(visits+1), base=2000 iff
+    // exactly one visit (store/url.go:297-333).
+    "q05_pair_sampler_weights" -> ((s, dir) => {
+      t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("visits"))
+        .withColumn("weight", round(
+          when(col("visits") === 1, lit(2000.0)).otherwise(lit(1.0)) /
+            (col("visits") + lit(1.0)), 6))
+        .orderBy("o_custkey")
+    }),
+
+    // O2 dictionary encoding: first-seen-order dense ids over a dim.
+    "q06_dict_encode" -> ((s, dir) => {
+      t(s, dir, "orders").select("o_orderpriority").distinct()
+        .withColumn("id", dense_rank().over(
+          Window.orderBy(col("o_orderpriority"))).cast("long"))
+        .orderBy("id")
+    }),
+
+    // S4 feed decode: JSON payload extraction + per-key aggregation
+    // (PhishTank provider, provider.go:219-266).
+    "q07_events_json" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("cnt"),
+          max(col("event_id")).as("hwm"))
+        .orderBy("event_type")
+    }),
+
+    // W7 chain self-join: consecutive-sequence linkage (redirect chains).
+    "q08_chain_selfjoin" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val a = l.select(col("l_orderkey"), col("l_linenumber"))
+      val b = l.select(col("l_orderkey"),
+        (col("l_linenumber") - 1).as("l_linenumber"),
+        col("l_quantity"))
+      a.join(b, Seq("l_orderkey", "l_linenumber"))
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("chain_pairs"),
+          round(sum(col("l_quantity")), 2).as("next_qty_sum"))
+        .orderBy("l_orderkey")
+    }),
+
+    // S6 union fan-in + S4 high-watermark.
+    "q09_union_watermark" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      e.filter(col("event_type") === "click")
+        .unionByName(e.filter(col("event_type") === "error"))
+        .groupBy("event_type")
+        .agg(max(col("event_id")).as("hwm"), count(lit(1)).as("cnt"))
+        .orderBy("event_type")
+    }),
+
+    // O6 URL decomposition: parse_url components + custom etld1.
+    "q10_url_parts" -> ((s, dir) => {
+      GraftExpressions.register(s)
+      t(s, dir, "supplier")
+        .withColumn("url", concat(lit("https://www.s"), col("s_suppkey"),
+          lit(".example.com/cat/"), col("s_nationkey"),
+          lit("?id="), col("s_suppkey")))
+        .select(col("s_suppkey"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY")).as("query"),
+          GraftExpressions.etld1(parse_url(col("url"), lit("HOST"))).as("registrable"))
+        .orderBy("s_suppkey")
+    }),
+
+    // ---- training-data ops over documents/embeddings ----
+
+    // Exact dedup: hash-groupBy on normalized fingerprint.
+    "q20_dedup_exact" -> ((s, dir) => {
+      Dedup.exactDedup(t(s, dir, "documents")).orderBy("doc_id")
+    }),
+
+    // Token counting: whitespace + BPE-ish boundary tokens.
+    "q21_token_stats" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok"),
+        TextOps.bpeTokenCount(col("text")).cast("long").as("n_bpe"))
+        .orderBy("doc_id")
+    }),
+
+    // Language ID heuristic, aggregated.
+    "q22_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(TextOps.langId(col("text")).as("lang"))
+        .groupBy("lang").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang")
+    }),
+
+    // Quality scoring.
+    "q23_quality" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // n-gram Jaccard near-dup pairs (length-banded exact join).
+    "q24_jaccard_pairs" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 3, threshold = 0.5)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // MinHash+LSH near-dup pairs, exact-verified: output must equal the
+    // full exact-Jaccard pair set at the threshold (recall ~1 at J≥0.8 with
+    // 32 bands × 4 rows; verify step makes precision exact).
+    "q25_minhash_pairs" -> ((s, dir) => {
+      Dedup.minhashLshPairs(t(s, dir, "documents"), n = 3, threshold = 0.8)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Brute-force cosine top-k (exact ANN baseline).
+    "q26_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), 5)
+        .orderBy("q_id", "rk")
+    }),
+
+    // Embedding-cosine near-dup pairs, sign-LSH blocked + exact verify.
+    "q27_embed_neardup" -> ((s, dir) => {
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.8)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // SimHash near-dup pairs — sketch not portable to SQL → rows-only.
+    "q28_simhash_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      // sketch every doc; emit per-hamming histogram of blocked pairs
+      Dedup.simhashPairs(docs, maxHamming = 3)
+        .groupBy("hamming").agg(count(lit(1)).as("cnt"))
+        .unionByName(docs.select(lit(-1).cast("int").as("hamming"),
+          count(lit(1)).as("cnt")))
+        .orderBy("hamming")
+    }),
+
+    // Sign-LSH ANN top-k — recall<1 by design → rows-only (recall floor
+    // asserted in OperatorsSpec against the exact baseline).
+    "q29_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.annTopK(emb, emb.filter(col("vec_id") < 20), 5,
+        tables = 32, planesPerTable = 5)
+        .orderBy("q_id", "rk")
+    }),
+
+    // IVF-style coarse ANN — rows-only.
+    "q30_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val assigned = Similarity.ivfAssign(emb, cells = 16)
+      Similarity.ivfTopK(assigned, emb.filter(col("vec_id") < 20),
+        k = 5, nprobe = 4, cells = 16)
+        .orderBy("q_id", "rk")
+    }))
+
+  // Shared SQL fragments for the oracle side.
+  private val toksSql =
+    """list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')"""
+  private val shingleSql =
+    """CASE WHEN len(t) >= 3
+      |     THEN list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)])
+      |     ELSE [array_to_string(t, ' ')] END""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_agg" ->
@@ -59,6 +254,127 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q02_etld1_hosts" ->
       """SELECT c_custkey, lower(c_name) || '.com' AS registrable
-        |FROM customer ORDER BY c_custkey""".stripMargin
-  )
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q03_frontier_antijoin" ->
+      """SELECT c_custkey FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q04_pop_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, rk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_orderdate, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 2 ORDER BY o_custkey, rk""".stripMargin,
+    "q05_pair_sampler_weights" ->
+      """SELECT o_custkey, count(*) AS visits,
+        |  round((CASE WHEN count(*) = 1 THEN 2000.0 ELSE 1.0 END)
+        |        / (count(*) + 1.0), 6) AS weight
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q06_dict_encode" ->
+      """SELECT o_orderpriority,
+        |  dense_rank() OVER (ORDER BY o_orderpriority) AS id
+        |FROM (SELECT DISTINCT o_orderpriority FROM orders) ORDER BY id""".stripMargin,
+    "q07_events_json" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+        |  count(*) AS cnt, max(event_id) AS hwm
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q08_chain_selfjoin" ->
+      """SELECT a.l_orderkey, count(*) AS chain_pairs,
+        |  round(sum(b.l_quantity), 2) AS next_qty_sum
+        |FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+        |GROUP BY a.l_orderkey ORDER BY a.l_orderkey""".stripMargin,
+    "q09_union_watermark" ->
+      """SELECT event_type, max(event_id) AS hwm, count(*) AS cnt FROM (
+        |  SELECT * FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT * FROM events WHERE event_type = 'error')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q10_url_parts" ->
+      """SELECT s_suppkey,
+        |  'www.s' || s_suppkey || '.example.com' AS host,
+        |  '/cat/' || s_nationkey AS path,
+        |  'id=' || s_suppkey AS query,
+        |  'example.com' AS registrable
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "q20_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |  min(doc_id) AS doc_id, count(*) AS dupes
+        |FROM documents GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q21_token_stats" ->
+      s"""SELECT doc_id, len($toksSql) AS n_tok,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+')) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q22_langid" -> {
+      val profiles = TextOps.langProfiles.map { case (l, ws) =>
+        l -> ws.map(w => s"'$w'").mkString("[", ",", "]")
+      }
+      val hitExprs = profiles.map { case (l, arr) =>
+        s"len(list_filter(t, x -> list_contains($arr, x))) AS ${l}_hits"
+      }.mkString(", ")
+      val best = profiles.map { case (l, _) => s"${l}_hits" }.mkString("greatest(", ",", ")")
+      val caseExpr = profiles.map { case (l, _) =>
+        s"WHEN ${l}_hits = g AND g > 0 THEN '$l'"
+      }.mkString("CASE ", " ", " ELSE 'und' END")
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |hits AS (SELECT doc_id, $hitExprs FROM toks),
+         |sel AS (SELECT doc_id, $best AS g, * FROM hits)
+         |SELECT $caseExpr AS lang, count(*) AS cnt FROM sel
+         |GROUP BY 1 ORDER BY lang""".stripMargin
+    },
+    "q23_quality" -> {
+      val stops = TextOps.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+      s"""WITH toks AS (SELECT doc_id, text, $toksSql AS t FROM documents)
+         |SELECT doc_id, round(
+         |  0.3 * least(len(t) / 100.0, 1.0) +
+         |  0.4 * (len(list_filter(t, x -> list_contains($stops, x)))
+         |         / greatest(len(t)::DOUBLE, 1.0)) +
+         |  0.3 * (1.0 - least(len(regexp_extract_all(text, '[,.!?;:]'))
+         |                     / greatest(length(text)::DOUBLE, 1.0) * 10.0, 1.0)),
+         |  6) AS quality
+         |FROM toks ORDER BY doc_id""".stripMargin
+    },
+    "q24_jaccard_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+        |sh AS (SELECT doc_id, (len(t) // 16)::INT AS band, $shingleSql AS s FROM toks)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  round(len(list_intersect(a.s, b.s))::DOUBLE
+        |        / len(list_distinct(a.s || b.s))::DOUBLE, 6) AS jaccard
+        |FROM sh a, sh b
+        |WHERE a.doc_id < b.doc_id AND abs(a.band - b.band) <= 1
+        |  AND round(len(list_intersect(a.s, b.s))::DOUBLE
+        |            / len(list_distinct(a.s || b.s))::DOUBLE, 6) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q25_minhash_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+        |sh AS (SELECT doc_id, $shingleSql AS s FROM toks)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  round(len(list_intersect(a.s, b.s))::DOUBLE
+        |        / len(list_distinct(a.s || b.s))::DOUBLE, 6) AS jaccard
+        |FROM sh a, sh b
+        |WHERE a.doc_id < b.doc_id
+        |  AND round(len(list_intersect(a.s, b.s))::DOUBLE
+        |            / len(list_distinct(a.s || b.s))::DOUBLE, 6) >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q26_cosine_topk" ->
+      """SELECT * FROM (
+        |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |    round(list_cosine_similarity(q.embedding::DOUBLE[],
+        |                                 n.embedding::DOUBLE[]), 6) AS cos,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[],
+        |                     n.embedding::DOUBLE[]), 6) DESC, n.vec_id) AS rk
+        |  FROM embeddings q, embeddings n
+        |  WHERE q.vec_id < 20 AND q.vec_id <> n.vec_id)
+        |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    "q27_embed_neardup" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |                               b.embedding::DOUBLE[]), 6) AS cos
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |                                   b.embedding::DOUBLE[]), 6) >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin)
 }

@@ -45,11 +45,16 @@ object Frontier {
    * (kraaler.go:38-48). In-batch dedup keeps the first-seen (min depth,
    * then min discovered_at) occurrence.
    */
-  def normalizeCandidates(raw: DataFrame, numBuckets: Int): DataFrame = {
+  def normalizeCandidates(raw: DataFrame, numBuckets: Int,
+      respectRobots: Boolean = false): DataFrame = {
     graft.functions.GraftExpressions.register(raw.sparkSession)
-    val withHost = raw
+    val preFiltered = raw
       .withColumn("url", trim(col("url")))
       .filter(!col("url").startsWith("data:"))
+    val withHost = (if (respectRobots)
+      preFiltered.filter(coalesce(
+        graft.functions.GraftExpressions.robots_allowed(col("url")), lit(false)))
+    else preFiltered)
       .withColumn("host", graft.functions.GraftExpressions.url_host(col("url")))
       .filter(col("host").isNotNull)
       .withColumn("host_bucket", hostBucket(col("host"), numBuckets))
@@ -68,9 +73,16 @@ object Frontier {
    * candidates NOT already in the frontier. Bloom pre-filter + exact
    * anti-join on bloom-positives; never drops on a Bloom hit alone.
    */
-  def newOnly(frontier: DataFrame, candidates: DataFrame): DataFrame = {
-    val n = frontier.count()
+  /** @param expectedRows frontier cardinality hint (e.g. from the table
+    *   manifest) — avoids a count scan; pass -1 to count here.
+    * @param bloomMinRows below this the Bloom pre-filter is skipped (one
+    *   anti-join beats building+broadcasting a filter for small tables). */
+  def newOnly(frontier: DataFrame, candidates: DataFrame,
+      expectedRows: Long = -1L, bloomMinRows: Long = 4000000L): DataFrame = {
+    val n = if (expectedRows >= 0) expectedRows else frontier.count()
     if (n == 0) return candidates
+    if (n < bloomMinRows)
+      return candidates.join(frontier.select("url"), Seq("url"), "left_anti")
     val bloom = frontier.stat.bloomFilter("url", math.max(n, 64L), 0.03)
     val bBloom = frontier.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((u: String) => bBloom.value.mightContain(u))
@@ -144,8 +156,15 @@ object Frontier {
         Some(frontier.filter(col("last_visit") > 0L)
           .groupBy("host").agg(count(lit(1)).as("visits")))
       else None
+    // Single exchange: repartition on host_bucket, then BOTH windows'
+    // required clustering is already satisfied — (host_bucket, host) and
+    // (host_bucket) are subsets-compatible with hash(host_bucket) — so
+    // Catalyst plans sort-only windows with no further shuffle. (host
+    // determines host_bucket, so ranking per (host_bucket, host) IS the
+    // per-host politeness rank.)
     val keyed = priorityKey(sampler, seed, visitedByHost, boost)(pool)
-    val byHost = Window.partitionBy(col("host")).orderBy(col("prio"))
+      .repartition(col("host_bucket"))
+    val byHost = Window.partitionBy(col("host_bucket"), col("host")).orderBy(col("prio"))
     val byBucket = Window.partitionBy(col("host_bucket")).orderBy(col("prio"))
     keyed
       .withColumn("rn_host", row_number().over(byHost))
@@ -153,6 +172,42 @@ object Frontier {
       .withColumn("rn_bucket", row_number().over(byBucket))
       .filter(col("rn_bucket") <= perBucketBudget)
       .select("url", "host", "host_bucket", "depth", "discovered_at")
+  }
+
+  /**
+   * One-pass round merge — the MERGE INTO formulation of
+   * (Add new candidates ⊕ Visit popped) that a real Iceberg table would
+   * run: frontier FULL OUTER JOIN delta on url, where delta = candidate
+   * rows (insert-if-absent; existing row wins = first-seen dedup,
+   * store/url.go:168-170) ∪ visit marks (update last_visit,
+   * store/url.go:222-249). Replaces the anti-join + mark-join + union
+   * chain with a single frontier exchange per round.
+   */
+  def mergeRound(frontier: DataFrame, cands: DataFrame, popped: DataFrame,
+      round: Long): DataFrame = {
+    val delta = cands
+      .withColumn("new_visit", lit(null).cast(LongType))
+      .unionByName(popped.select(col("url"), lit(null).cast(StringType).as("host"),
+        lit(null).cast(IntegerType).as("host_bucket"),
+        lit(null).cast(IntegerType).as("depth"),
+        lit(null).cast(LongType).as("discovered_at"),
+        lit(null).cast(LongType).as("last_visit"),
+        lit(round).as("new_visit")))
+      .groupBy("url")
+      .agg(first(col("host"), ignoreNulls = true).as("host"),
+        first(col("host_bucket"), ignoreNulls = true).as("host_bucket"),
+        first(col("depth"), ignoreNulls = true).as("depth"),
+        first(col("discovered_at"), ignoreNulls = true).as("discovered_at"),
+        max(col("new_visit")).as("new_visit"))
+    frontier.as("f")
+      .join(delta.as("d"), Seq("url"), "full_outer")
+      .select(col("url"),
+        coalesce(col("f.host"), col("d.host")).as("host"),
+        coalesce(col("f.host_bucket"), col("d.host_bucket")).as("host_bucket"),
+        coalesce(col("f.depth"), col("d.depth")).as("depth"),
+        coalesce(col("f.discovered_at"), col("d.discovered_at")).as("discovered_at"),
+        coalesce(col("d.new_visit"), col("f.last_visit"), lit(0L)).as("last_visit"))
+      .filter(col("host").isNotNull) // mark-only rows can't occur; belt+braces
   }
 
   /** Mark popped URLs visited at `round` (urlStore.Visit,

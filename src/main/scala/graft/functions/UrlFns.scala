@@ -181,12 +181,58 @@ object UrlFns {
     if (binary) "application/octet-stream" else "text/plain"
   }
 
+  /** Deterministic synthetic robots.txt rules per host: a host disallows
+    * the path prefix `/p/<d>` for d = hash(host)%10 when its hash selects
+    * it (~50% of hosts), plus `/private` everywhere. The reference has no
+    * robots handling; these rules feed the engine's own politeness stage
+    * (north rule) and are stable across runs/executors. */
+  def robotsDisallow(host: String): Seq[String] = {
+    if (host == null) return Seq("/")
+    val h = graft.fetch.FetchSim.fnv1a("robots|" + host)
+    val base = Seq("/private")
+    if ((h & 1L) == 0L) base :+ s"/p/${((h >>> 8) % 10 + 10) % 10}" else base
+  }
+
+  /** True iff `url`'s path is NOT under a disallowed prefix of its host
+    * (robots prefix semantics: `Disallow: /p/3` blocks every path starting
+    * with `/p/3`). */
+  def robotsAllowed(url: String): Boolean = {
+    val host = hostOf(url)
+    if (host == null) return false
+    val path = graft.fetch.FetchSim.pathOf(url)
+    !robotsDisallow(host).exists(path.startsWith)
+  }
+
+  /** gzip(best-compression) byte size — the body store's stored-size
+    * accounting (store/file.go:39-44, 130, 174). */
+  def gzipSize(bytes: Array[Byte]): Long = {
+    if (bytes == null) return 0L
+    val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 32)
+    val gz = new java.util.zip.GZIPOutputStream(bos) {
+      `def`.setLevel(java.util.zip.Deflater.BEST_COMPRESSION)
+    }
+    gz.write(bytes); gz.close()
+    bos.size().toLong
+  }
+
+  private val hexChars = "0123456789abcdef".toCharArray
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("SHA-256")
+  }
+
   def sha256Hex(bytes: Array[Byte]): String = {
-    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val md = mdLocal.get()
+    md.reset()
     val d = md.digest(bytes)
-    val sb = new java.lang.StringBuilder(64)
-    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
+    val out = new Array[Char](64)
+    var i = 0
+    while (i < 32) {
+      out(i * 2) = hexChars((d(i) >> 4) & 0xf)
+      out(i * 2 + 1) = hexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   def sha256Hex(s: String): String =

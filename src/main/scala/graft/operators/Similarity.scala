@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`array<float>`):
+ *
+ *  - brute-force cosine top-k (the exact baseline — broadcast the query
+ *    side, never shuffle the corpus);
+ *  - sign-LSH (random hyperplane) bucketed ANN — the scale path: candidates
+ *    from equi-joins on compact bucket keys, exact cosine re-rank;
+ *  - cosine near-dup pairs over the corpus (embedding-based dedup).
+ *
+ * All vector math is `zip_with` + `aggregate` column algebra in double
+ * precision (codegen'd; no UDF). Hyperplanes are Rademacher ±1 vectors
+ * derived from xxhash64(plane, dim) — deterministic, seeded, and free of
+ * driver-side randomness.
+ */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /**
+   * Exact top-k cosine neighbors for each query row. `queries` is expected
+   * to be small (it is broadcast); the corpus side streams — one pass, no
+   * corpus shuffle except the final per-query top-k (tiny).
+   */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("cos", round(cosine(col("q_emb"), col("n_emb")), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("n_id"))))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rk").cast("long").as("rk"))
+  }
+
+  /** ±1 Rademacher component for (plane, dim position), from xxhash64. */
+  private def rademacher(plane: Column, j: Column): Column =
+    (xxhash64(plane, j).bitwiseAND(lit(1L)) * 2 - 1).cast("double")
+
+  /** Sign-LSH bucket keys: `tables` keys, each from `planesPerTable`
+    * hyperplane sign bits (one long per table). */
+  def signBuckets(vec: Column, tables: Int, planesPerTable: Int): Column =
+    transform(sequence(lit(0), lit(tables - 1)), t => {
+      val bits = transform(sequence(lit(0), lit(planesPerTable - 1)), p => {
+        val plane = t * planesPerTable + p
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (x, j) => x.cast("double") * rademacher(plane, j)),
+          lit(0.0), (acc, v) => acc + v)
+        when(proj > 0, lit(1L)).otherwise(lit(0L))
+      })
+      aggregate(zip_with(bits, sequence(lit(0), lit(planesPerTable - 1)),
+        (b, i) => call_function("shiftleft", b, i.cast("int"))), lit(0L), (a, x) => a.bitwiseOR(x))
+    })
+
+  /**
+   * ANN top-k via sign-LSH: corpus and queries hash into `tables` bucket
+   * keys; candidates = bucket equi-join matches in ANY table; exact cosine
+   * re-rank keeps top-k. Recall < 1 by construction (that's the trade);
+   * measure it against [[bruteForceTopK]] — the spec asserts a floor.
+   */
+  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      tables: Int = 8, planesPerTable: Int = 12): DataFrame = {
+    def withBuckets(df: DataFrame, prefix: String): DataFrame =
+      df.select(col("vec_id").as(s"${prefix}_id"), col("embedding").as(s"${prefix}_emb"),
+        posexplode(signBuckets(col("embedding"), tables, planesPerTable))
+          .as(Seq("table_idx", "bucket")))
+    val c = withBuckets(corpus, "n")
+    val q = withBuckets(queries, "q")
+    c.join(q, Seq("table_idx", "bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select("q_id", "q_emb", "n_id", "n_emb").dropDuplicates("q_id", "n_id")
+      .withColumn("cos", round(cosine(col("q_emb"), col("n_emb")), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("n_id"))))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rk").cast("long").as("rk"))
+  }
+
+  /** Embedding-cosine near-dup pairs (cos ≥ threshold) — sign-LSH blocked,
+    * exact verify; the embedding flavor of [[Dedup]]. */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
+      tables: Int = 12, planesPerTable: Int = 10): DataFrame = {
+    val b = corpus.select(col("vec_id"), col("embedding"),
+      posexplode(signBuckets(col("embedding"), tables, planesPerTable))
+        .as(Seq("table_idx", "bucket")))
+    val l = b.select(col("table_idx"), col("bucket"),
+      col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val r = b.select(col("table_idx"), col("bucket"),
+      col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    l.join(r, Seq("table_idx", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_emb", "b_emb").dropDuplicates("a_id", "b_id")
+      .withColumn("cos", round(cosine(col("a_emb"), col("b_emb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("a_id", "b_id", "cos")
+  }
+
+  /**
+   * IVF-style coarse index: `cells` centroid rows are taken as the lowest
+   * vec_ids (a deterministic stand-in for k-means — the partitioning
+   * mechanics, assignment join, and nprobe probing are the real thing).
+   * Build: assign every vector to its nearest centroid (broadcast join).
+   * Query: probe the `nprobe` nearest cells only, exact re-rank inside.
+   */
+  def ivfAssign(corpus: DataFrame, cells: Int): DataFrame = {
+    val centroids = corpus.orderBy("vec_id").limit(cells)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("cell_emb"))
+    corpus.crossJoin(broadcast(centroids))
+      .withColumn("d", cosine(col("embedding"), col("cell_emb")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("d").desc, col("cell_id"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell_id"))
+  }
+
+  def ivfTopK(assigned: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
+      cells: Int): DataFrame = {
+    val centroids = assigned.filter(col("vec_id") === col("cell_id"))
+      .select(col("cell_id"), col("embedding").as("cell_emb"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("d", cosine(col("embedding"), col("cell_emb")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("d").desc, col("cell_id"))))
+      .filter(col("rk") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cell_id"))
+    probes.join(assigned.withColumnRenamed("vec_id", "n_id")
+        .withColumnRenamed("embedding", "n_emb"), Seq("cell_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", round(cosine(col("q_emb"), col("n_emb")), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rk").cast("long").as("rk"))
+  }
+}

@@ -44,7 +44,6 @@ class Crawler(
 
   val frontierTable = new IcebergishTable(s"$workDir/frontier", Frontier.schema)
   private def docsDir = s"$workDir/docs"
-  private def sessionsDir = s"$workDir/sessions"
 
   def lastRound: Int = frontierTable.currentSnapshot().map(_.round).getOrElse(-1)
 
@@ -52,24 +51,43 @@ class Crawler(
 
   /** Seed the frontier (round 0 commit). Seeds are depth 0, discovery order
     * = list order (ReadDomainsFromFile semantics, kraaler.go:29-57). */
-  def addSeeds(urls: Seq[String]): Long = {
-    val raw = urls.zipWithIndex.toDF("url", "pos")
-      .select(col("url"), lit(0).as("depth"), col("pos").cast("long").as("discovered_at"))
-    val cands = Frontier.normalizeCandidates(raw, cfg.numBuckets)
+  def addSeeds(urls: Seq[String]): Long =
+    addSeedCandidates(urls.zipWithIndex.toDF("url", "pos")
+      .select(col("url"), lit(0).as("depth"), col("pos").cast("long").as("discovered_at")))
+
+  /** Distributed seeding: `raw` has (url, depth, discovered_at) and can be
+    * any size — 10^10-scale seed lists never pass through the driver. */
+  def addSeedCandidates(raw: DataFrame): Long = {
+    val cands = Frontier.normalizeCandidates(raw, cfg.numBuckets, cfg.respectRobots)
     val existing = frontierTable.read(spark)
     val fresh = Frontier.newOnly(existing, cands)
     val merged = existing.unionByName(fresh)
     frontierTable.commit(merged, math.max(lastRound, 0), Seq("host_bucket"))
   }
 
+  private val timing = sys.env.contains("GRAFT_ROUND_TIMING")
+  private def timed[T](label: String)(f: => T): T = {
+    if (!timing) f
+    else {
+      val t0 = System.nanoTime()
+      val v = f
+      System.err.println(f"[round-timing] $label%-12s ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      v
+    }
+  }
+
   /** Run one fetch round; returns stats (popped==0 ⇒ frontier exhausted). */
   def round(): RoundStats = {
     val r = lastRound + 1
+    val frontierRowsHint = frontierTable.currentSnapshot().map(_.rows).getOrElse(-1L)
     val frontier = frontierTable.read(spark)
     val popped = Frontier.pop(frontier, cfg.sampler, cfg.seed,
       cfg.perHostBudget, cfg.perBucketBudget, cfg.unique, cfg.boost)
       .persist()
-    val poppedN = popped.count()
+    // one job: per-bucket lineage counts AND the popped total
+    val perBucketCounts = timed("pop")(popped.groupBy("host_bucket").count()
+      .collect().map(row => row.getInt(0) -> row.getLong(1)).sortBy(_._1))
+    val poppedN = perBucketCounts.map(_._2).sum
     if (poppedN == 0) { popped.unpersist(); return RoundStats(r, 0, 0, 0, 0, frontier.count()) }
 
     // --- fetch stage: salted-key shuffle, then per-partition pure fetch ---
@@ -78,7 +96,7 @@ class Crawler(
     val out = popped
       .withColumn("salt_key",
         concat(col("host"), lit("#"), pmod(xxhash64(col("url")), lit(cfg.saltFactor))))
-      .repartition(spark.sparkContext.defaultParallelism, col("salt_key"))
+      .repartition(spark.sparkContext.defaultParallelism * 4, col("salt_key"))
       .select(col("url"), col("depth"))
       .as[(String, Int)]
       .mapPartitions { it =>
@@ -92,44 +110,46 @@ class Crawler(
             s.navigate_ts, s.loaded_ts, s.terminated_ts)
         }
       }
-      .persist()
 
-    // --- sinks: docs (input_hint shape) + sessions side table, idempotent
-    //     per-round overwrite ---
-    out.select("doc_id", "spans")
-      .write.mode(SaveMode.Overwrite).parquet(s"$docsDir/round=$r")
-    out.select("doc_id", "url", "host", "depth", "error",
-        "navigate_ts", "loaded_ts", "terminated_ts")
-      .write.mode(SaveMode.Overwrite).parquet(s"$sessionsDir/round=$r")
+    // --- sink: ONE wide round file (spans + session metadata + links).
+    //     The fetch output is written exactly once — no cache build, no
+    //     second pass over the fat spans column; downstream consumers
+    //     (session stats, frontier expansion) read back with column
+    //     pruning and never touch `spans`. `round` lives only in the
+    //     partition dir (dropped from data to avoid the dup-column clash).
+    timed("fetch+docs")(out.drop("round")
+      .write.mode(SaveMode.Overwrite).parquet(s"$docsDir/round=$r"))
+    val written = spark.read.parquet(s"$docsDir/round=$r")
 
-    val fetchedOk = out.filter(col("error") === "").count()
-    val errs = out.filter(col("error") =!= "").count()
+    // one job for both outcome counters (reads only the `error` column)
+    val okErr = timed("ok-err")(written.agg(
+      sum(when(col("error") === "", 1L).otherwise(0L)),
+      sum(when(col("error") =!= "", 1L).otherwise(0L))).collect()(0))
+    val fetchedOk = if (okErr.isNullAt(0)) 0L else okErr.getLong(0)
+    val errs = if (okErr.isNullAt(1)) 0L else okErr.getLong(1)
 
     // --- frontier expansion (urlStore.Add of Page.DocumentURLs,
     //     worker.go:1247) + visit marks, one atomic commit ---
-    val rawNew = out
+    val rawNew = written
       .select(col("depth"), posexplode(col("links")).as(Seq("pos", "url")))
       .select(col("url"), (col("depth") + 1).as("depth"),
         (lit(r.toLong * 1000000L) + col("pos")).as("discovered_at"))
-    val cands = Frontier.normalizeCandidates(rawNew, cfg.numBuckets)
-    val fresh = Frontier.newOnly(frontier, cands).persist()
-    val newN = fresh.count()
-    val marked = Frontier.markVisited(frontier, popped, r)
-    val merged = marked.unionByName(fresh)
-    val frontierRows = frontierTable.commit(merged, r, Seq("host_bucket"))
+    val cands = Frontier.normalizeCandidates(rawNew, cfg.numBuckets, cfg.respectRobots)
+    val merged = Frontier.mergeRound(frontier, cands, popped, r)
+    val frontierRows = timed("commit")(frontierTable.commit(merged, r, Seq("host_bucket")))
+    val newN = math.max(0L, frontierRows - math.max(frontierRowsHint, 0L))
 
-    writeLineage(r, popped, poppedN, fetchedOk, errs, newN, frontierRows)
-    popped.unpersist(); out.unpersist(); fresh.unpersist()
+    writeLineage(r, perBucketCounts, poppedN, fetchedOk, errs, newN, frontierRows)
+    popped.unpersist()
     RoundStats(r, poppedN, fetchedOk, errs, newN, frontierRows)
   }
 
   /** Per-round, per-partition lineage metrics (north rule: "checkpoints
     * frontier + seen-set state per partition with lineage metrics"). */
-  private def writeLineage(r: Int, popped: DataFrame, poppedN: Long,
+  private def writeLineage(r: Int, perBucketCounts: Seq[(Int, Long)], poppedN: Long,
       ok: Long, errs: Long, newN: Long, frontierRows: Long): Unit = {
-    val perBucket = popped.groupBy("host_bucket").count()
-      .collect().sortBy(_.getInt(0))
-      .map(row => s""""${row.getInt(0)}":${row.getLong(1)}""").mkString("{", ",", "}")
+    val perBucket = perBucketCounts
+      .map { case (b, c) => s""""$b":$c""" }.mkString("{", ",", "}")
     Files.createDirectories(Paths.get(s"$workDir/lineage"))
     Files.writeString(Paths.get(s"$workDir/lineage/round-$r.json"),
       s"""{"round":$r,"popped":$poppedN,"fetched_ok":$ok,"errors":$errs,""" +
@@ -151,20 +171,26 @@ class Crawler(
     stats.toSeq
   }
 
-  /** All committed docs (torn rounds excluded by the manifest round). */
-  def docs(): DataFrame = {
+  /** All committed wide round rows (torn rounds excluded by the manifest
+    * round). */
+  def docsWide(): DataFrame = {
     val r = lastRound
     if (r < 1 || !Files.exists(Paths.get(docsDir)))
       return spark.emptyDataFrame
     spark.read.parquet(docsDir).filter(col("round") <= r)
   }
 
-  def sessions(): DataFrame = {
-    val r = lastRound
-    if (r < 1 || !Files.exists(Paths.get(sessionsDir)))
-      return spark.emptyDataFrame
-    spark.read.parquet(sessionsDir).filter(col("round") <= r)
+  /** The `input_hint`-shaped docs table (doc_id, spans [, round]). */
+  def docs(): DataFrame = {
+    val w = docsWide()
+    if (w.columns.isEmpty) w else w.select("doc_id", "spans", "round")
   }
+
+  /** Session metadata view — a pruned projection of the wide round files
+    * (never touches the spans column). */
+  def sessions(): DataFrame =
+    docsWide().select("doc_id", "url", "host", "depth", "error",
+      "navigate_ts", "loaded_ts", "terminated_ts", "round")
 
   def frontier(): DataFrame = frontierTable.read(spark)
 }
@@ -177,7 +203,8 @@ case class CrawlConfig(
     seed: Long = 42L,
     unique: Boolean = true,
     saltFactor: Int = 8,
-    boost: Double = 2000.0)
+    boost: Double = 2000.0,
+    respectRobots: Boolean = false)
 
 case class RoundStats(
     round: Int,

@@ -56,7 +56,14 @@ class IcebergishTable(val root: String, schema: StructType) extends Serializable
     Files.createDirectories(Paths.get(root))
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val dataDir = s"data-r$round-$nonce"
-    val w0 = df.write.mode("overwrite")
+    // cluster rows by the partition columns first: without this every
+    // upstream task writes a file into every partition dir (tasks × dirs
+    // small files); with it, one exchange → one file per partition dir
+    val clustered =
+      if (partitionCols.nonEmpty)
+        df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      else df
+    val w0 = clustered.write.mode("overwrite")
     val w = if (partitionCols.nonEmpty) w0.partitionBy(partitionCols: _*) else w0
     w.parquet(s"$root/$dataDir")
     val rows = df.sparkSession.read.schema(schema).parquet(s"$root/$dataDir").count()

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import graft.functions.UrlFns
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Per-host politeness token buckets + robots allow-list, as a stateful
+ * streaming stage (`groupByKey(host).flatMapGroupsWithState`) — the north
+ * rule's generalization of kraaler's 1-in-flight ready-token loop
+ * (/root/reference/worker.go:1238-1253). kraaler has no robots.txt handling
+ * (the Chromium fetch just navigates, worker.go:580-584); the rule set here
+ * is the engine's own, fed by the deterministic synthetic web.
+ *
+ * State is keyed by HOST (not host-bucket) because a token bucket is a
+ * per-host invariant; memory stays bounded because only hosts seen in the
+ * current stream epoch hold state, and [[PolitenessState]] is ~32 bytes.
+ * At 10^8 hosts, key-state shards across executors by the groupByKey
+ * shuffle — the same exchange the frontier already pays.
+ */
+object Politeness {
+
+  /** Candidate URL entering the throttle, with its round and priority. */
+  case class Candidate(url: String, host: String, round: Long, prio: Long)
+
+  /** Token bucket per host: `tokens` available, `lastRound` of refill. */
+  case class PolitenessState(tokens: Double, lastRound: Long)
+
+  /**
+   * Token-bucket throttle: each host earns `ratePerRound` fetch slots per
+   * round (capped at `burst`); candidates beyond the budget are dropped
+   * this epoch (they stay in the frontier — pop re-offers them next round).
+   * Deterministic: candidates are admitted in (prio, url) order.
+   */
+  def throttle(ds: Dataset[Candidate], ratePerRound: Double, burst: Double)(
+      implicit dummy: DummyImplicit): Dataset[Candidate] = {
+    implicit val stateEnc = Encoders.product[PolitenessState]
+    implicit val candEnc = Encoders.product[Candidate]
+    implicit val strEnc = Encoders.STRING
+    ds.groupByKey(_.host)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (host: String, it: Iterator[Candidate], state: GroupState[PolitenessState]) =>
+          val cands = it.toArray.sortBy(c => (c.prio, c.url))
+          if (cands.isEmpty) Iterator.empty
+          else {
+            val round = cands.map(_.round).max
+            val st = state.getOption.getOrElse(PolitenessState(burst, round - 1))
+            val refilled = math.min(burst,
+              st.tokens + math.max(0L, round - st.lastRound) * ratePerRound)
+            val admit = math.floor(refilled).toInt
+            val out = cands.take(admit)
+            state.update(PolitenessState(refilled - out.length, round))
+            out.iterator
+          }
+      }
+  }
+
+  /** Robots pre-filter: drop candidates whose path matches a disallowed
+    * prefix for their host (rules from [[UrlFns.robotsDisallow]]). Pure
+    * narrow filter — composes before the throttle. */
+  def robotsFilter(ds: Dataset[Candidate]): Dataset[Candidate] =
+    ds.filter((c: Candidate) => UrlFns.robotsAllowed(c.url))
+}

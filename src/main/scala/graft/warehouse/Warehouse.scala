@@ -266,7 +266,9 @@ object Warehouse {
       dimId(col("mime_determined")).as("determined_mime_id"),
       col("body_sha256").as("hash256"),
       col("body_size").as("org_size"),
-      when(col("body_ref") =!= "", length(col("body_text"))).as("comp_size"),
+      // stored (gzip best-compression) size, store/file.go:39-44
+      when(col("body_ref") =!= "",
+        GraftExpressions.gzip_size(encode(col("body_text"), "UTF-8"))).as("comp_size"),
       nullif(col("body_ref"), lit("")).as("path"))
     // content-addressed store manifest: one row per distinct stored body
     val storedBodies = bodyRows.filter(col("body_ref") =!= "")

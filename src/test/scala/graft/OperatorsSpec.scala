@@ -1,0 +1,184 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Training-data pipeline operators: dedup (exact / MinHash-LSH / SimHash /
+  * n-gram Jaccard), embedding similarity (brute-force, sign-LSH ANN, IVF),
+  * text analysis, and the multimodal binary plumbing. */
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // Corpus with known structure: 0/1 exact dupes, 2 a near-dup of 0 (one
+  // word swapped), 3..n random word salads.
+  def corpus(): DataFrame = {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val near = base.replace("sigma", "psi") // 1 token of 20 differs
+    val salads = (3 until 40).map { i =>
+      val ws = Array("table", "scan", "query", "join", "sort", "merge",
+        "hash", "agg", "key", "row", "batch", "window")
+      i.toString + " " + (0 until 25).map(j => ws((i * 7 + j * 5) % ws.length)).mkString(" ")
+    }
+    (Seq(0L -> base, 1L -> ("  " + base + " "), 2L -> near) ++
+      salads.zipWithIndex.map { case (t, i) => (i + 3).toLong -> t })
+      .toDF("doc_id", "text")
+  }
+
+  test("exactDedup: whitespace-normalized dupes collapse, lowest id survives") {
+    val d = Dedup.exactDedup(corpus())
+    val row = d.filter(col("dupes") > 1).collect()
+    assert(row.length == 1)
+    assert(row.head.getAs[Long]("doc_id") == 0L && row.head.getAs[Long]("dupes") == 2L)
+  }
+
+  test("ngramJaccardPairs finds the constructed near-dup pair") {
+    val pairs = Dedup.ngramJaccardPairs(corpus(), n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // exact dup, J=1
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L))) // near dup
+  }
+
+  test("minhashLshPairs: finds near-dups, never reports below-threshold pairs (precision exact)") {
+    val got = Dedup.minhashLshPairs(corpus(), n = 3, threshold = 0.5)
+    val pairs = got.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 1.0))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 2L))
+    assert(pairs.forall(_._3 >= 0.5), "verify step must enforce the threshold")
+  }
+
+  test("simhash: near-identical texts land within small hamming; pairs found by pigeonhole blocks") {
+    val sh = corpus().select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(1L), "normalization-identical docs must hash equal")
+    val ham02 = java.lang.Long.bitCount(sh(0L) ^ sh(2L))
+    assert(ham02 <= 3, s"1-of-20-token swap should stay within hamming 3, got $ham02")
+    val pairs = Dedup.simhashPairs(corpus(), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)))
+  }
+
+  test("survivors drops the b-side of each pair") {
+    val pairs = Seq((0L, 1L), (0L, 2L)).toDF("a_id", "b_id")
+    val s = Dedup.survivors(corpus(), pairs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!s.contains(1L) && !s.contains(2L) && s.contains(0L) && s.contains(3L))
+  }
+
+  // ---- embeddings ----
+
+  def embeddings(): DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("bruteForceTopK: k rows per query, cosine descending, deterministic ties") {
+    val emb = embeddings()
+    val queries = emb.filter(col("vec_id") < 3)
+    val tk = Similarity.bruteForceTopK(emb, queries, 5).collect()
+    assert(tk.length == 15)
+    val byQ = tk.groupBy(_.getAs[Long]("q_id"))
+    byQ.values.foreach { rows =>
+      val cs = rows.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("cos")).toSeq
+      assert(cs == cs.sorted.reverse)
+    }
+  }
+
+  test("annTopK recall vs brute force >= 0.6 on sf0.001 (LSH trade-off, measured)") {
+    val emb = embeddings()
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, 5).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    // random 64-dim embeddings are a worst case for sign-LSH (neighbors are
+    // barely closer than the bulk); measured recall at (32 tables, 5
+    // planes) is 0.94 on this fixture
+    val ann = Similarity.annTopK(emb, queries, 5, tables = 32, planesPerTable = 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    assert(recall >= 0.8, s"ANN recall $recall")
+  }
+
+  test("ivf: assignment is total, probing returns k neighbors with true cosines") {
+    val emb = embeddings()
+    val assigned = Similarity.ivfAssign(emb, cells = 8)
+    assert(assigned.count() == emb.count())
+    val queries = emb.filter(col("vec_id") < 3)
+    val tk = Similarity.ivfTopK(assigned, queries, k = 5, nprobe = 4, cells = 8)
+    val rows = tk.collect()
+    assert(rows.groupBy(_.getAs[Long]("q_id")).forall(_._2.length == 5))
+  }
+
+  test("embedding cosineNearDupPairs: planted duplicate vector is found") {
+    val emb = embeddings().limit(50)
+    val dup = emb.filter(col("vec_id") === 0)
+      .select(lit(9999L).as("vec_id"), col("embedding"), col("label"))
+    val withDup = emb.unionByName(dup)
+    val pairs = Similarity.cosineNearDupPairs(withDup, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 9999L)))
+  }
+
+  // ---- text analysis ----
+
+  test("langId picks profile languages, 'und' when nothing matches") {
+    val df = Seq(
+      ("the cat is on the mat and it is happy", "en"),
+      ("der hund ist nicht mit der katze", "de"),
+      ("le chat est pour la table et je", "fr"),
+      ("el perro no es una mesa por su casa", "es"),
+      ("zzz qqq www", "und")).toDF("text", "want")
+    val got = df.select(TextOps.langId(col("text")).as("got"), col("want")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+
+  test("tokenCount / bpeTokenCount / qualityScore behave on edges") {
+    val df = Seq("", "   ", "one", "a b  c", "hi, there! x9y").toDF("text")
+    val rows = df.select(TextOps.tokenCount(col("text")).as("n"),
+      TextOps.bpeTokenCount(col("text")).as("b"),
+      TextOps.qualityScore(col("text")).as("q")).collect()
+    assert(rows.map(_.getAs[Int]("n")).toSeq == Seq(0, 0, 1, 3, 3))
+    // "hi, there! x9y" → hi | , | there | ! | x | 9 | y = 7 bpe-ish tokens
+    assert(rows.last.getAs[Int]("b") == 7)
+    rows.foreach(r => assert(r.getAs[Double]("q") >= 0.0 && r.getAs[Double]("q") <= 1.0))
+  }
+
+  test("winnow fingerprint: shared sketch hashes iff overlapping content") {
+    val a = TextOps.winnow("the quick brown fox jumps over the lazy dog again and again")
+    val b = TextOps.winnow("the quick brown fox jumps over the lazy dog again and again")
+    val c = TextOps.winnow("completely different words live here entirely unrelated")
+    assert(a == b)
+    assert(a.toSet.intersect(c.toSet).isEmpty)
+    assert(TextOps.winnow("") == Seq.empty)
+  }
+
+  // ---- multimodal ----
+
+  test("multimodal: synthetic media sniff correctly as png/riff, features are unit vectors") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    val media = Multimodal.mediaFromDocs(docs)
+    val sniffed = Multimodal.withSniffedMime(media.toDF()).collect()
+    sniffed.foreach { r =>
+      val kind = r.getAs[String]("kind")
+      val mime = r.getAs[String]("sniffed_mime")
+      assert(if (kind == "image") mime == "image/png" else mime == "audio/wave",
+        s"$kind sniffed as $mime")
+    }
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 20)
+    feats.foreach { f =>
+      assert(f.features.length == 64)
+      val n = math.sqrt(f.features.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-4)
+    }
+  }
+
+  test("multimodal: frame sampling emits n frames per row; resize caps bytes") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(5)
+    val media = Multimodal.mediaFromDocs(docs)
+    val frames = Multimodal.frameSampleStub(media, 4)
+    assert(frames.count() == 20)
+    val resized = Multimodal.resizeStub(media, 64).collect()
+    resized.foreach(m => assert(m.bytes.length <= 64))
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import graft.pipeline.Middleware
+import graft.sources.Providers
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** URL source providers (SURVEY.md §2.1) — mirrors TestDomainFileProvider
+  * (provider_test.go:20-88) and TestPhishTankReader (provider_test.go:
+  * 90-151) over the deterministic synthetic liveness/feed functions. */
+class ProvidersSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-prov").toString
+
+  test("domainsFromFile: trims, lowercases, drops blanks and comments, keeps order") {
+    val dir = tmpDir()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "domains.txt"),
+      "  Example.COM  \n\n# comment\nfoo.test\nBAR.test\n")
+    val got = Providers.domainsFromFile(spark, s"$dir/domains.txt")
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("example.com", "foo.test", "bar.test"))
+  }
+
+  test("domainProvider emits one url per open port; scanForServers prefers https") {
+    import spark.implicits._
+    val domains = (0 until 200).map(i => s"d$i.test").toDF("domain")
+    val perPort = Providers.domainProvider(domains).collect().map(_.getString(0))
+    val scan = Providers.scanForServers(domains).collect().map(_.getString(0))
+    // per-port provider can emit both schemes for one domain
+    val both = perPort.groupBy(u => u.split("//")(1)).filter(_._2.length == 2)
+    assert(both.nonEmpty, "expected some domains with both ports open")
+    // scan emits at most one per domain, preferring https
+    val byDomain = scan.groupBy(u => u.split("//")(1))
+    assert(byDomain.values.forall(_.length == 1))
+    both.keys.foreach { d =>
+      byDomain.get(d).foreach(us => assert(us.head.startsWith("https://")))
+    }
+    // determinism
+    assert(Providers.domainProvider(domains).collect().map(_.getString(0)).toSeq
+      == perPort.toSeq)
+  }
+
+  test("decodeFeed: json decode, sort by id, high-watermark gate (provider.go:243-266)") {
+    import spark.implicits._
+    Providers.writeFeedSnapshot(tmpDir() + "/unused", 0, 0) // helper smoke
+    val payload =
+      """[{"phish_id":"7","url":"http://a.test/x"},
+        | {"phish_id":"3","url":"http://b.test/y"},
+        | {"phish_id":"9","url":"http://c.test/z"}]""".stripMargin
+    val snap = Seq(payload).toDF("payload")
+    val all = Providers.decodeFeed(snap, highWatermark = -1L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(all.map(_._1).toSeq == Seq(3L, 7L, 9L), "sorted by id")
+    val gated = Providers.decodeFeed(snap, highWatermark = 6L)
+      .collect().map(_.getLong(0))
+    assert(gated.toSeq == Seq(7L, 9L))
+  }
+
+  test("feedStream: streaming decode dedups re-announced ids across polls") {
+    val dir = tmpDir()
+    Providers.writeFeedSnapshot(dir, firstId = 1, count = 3)   // ids 1..3
+    val q = Providers.feedStream(spark, dir)
+      .writeStream.format("memory").queryName("feed_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("feed_out").count() == 3)
+      // second poll re-announces 2..3 and adds 4..5
+      Providers.writeFeedSnapshot(dir, firstId = 2, count = 4) // ids 2..5
+      q.processAllAvailable()
+      val ids = spark.table("feed_out").collect().map(_.getAs[Long]("id")).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L, 4L, 5L), s"got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
+  test("consume unions providers; middleware skip/only filters compose") {
+    import spark.implicits._
+    val a = Seq("http://a.test/1").toDF("url")
+    val b = Seq("http://b.test/2", "http://skip.test/x").toDF("url")
+    val fanIn = Providers.consume(a, b)
+    assert(fanIn.count() == 3)
+    val filtered = Middleware.chain(
+      Middleware.skipUrls(Seq("skip\\.test")))(fanIn)
+      .collect().map(_.getString(0)).toSet
+    assert(filtered == Set("http://a.test/1", "http://b.test/2"))
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import graft.fetch.FetchSim
+import graft.functions.UrlFns
+import graft.pipeline.{CrawlConfig, Crawler}
+import graft.streaming.{Politeness, StreamingCrawler}
+import graft.streaming.Politeness.Candidate
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming semantics: per-host politeness token buckets
+  * (flatMapGroupsWithState), robots filtering, and the micro-batch-per-round
+  * streaming crawler incl. checkpoint resume (SURVEY.md §2.6). */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-stream").toString
+
+  test("politeness token bucket: per-host budget enforced per round, refills across rounds") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Candidate]
+    val throttled = Politeness.throttle(in.toDS(), ratePerRound = 2.0, burst = 2.0)
+    val q = throttled.writeStream.format("memory").queryName("throttle_out")
+      .outputMode("append").start()
+    try {
+      // round 1: 5 candidates for host a, 1 for host b → admit 2 + 1
+      in.addData(
+        Candidate("http://a.test/1", "a.test", 1L, 1L),
+        Candidate("http://a.test/2", "a.test", 1L, 2L),
+        Candidate("http://a.test/3", "a.test", 1L, 3L),
+        Candidate("http://a.test/4", "a.test", 1L, 4L),
+        Candidate("http://a.test/5", "a.test", 1L, 5L),
+        Candidate("http://b.test/1", "b.test", 1L, 1L))
+      q.processAllAvailable()
+      val r1 = spark.table("throttle_out").collect()
+      assert(r1.count(_.getAs[String]("host") == "a.test") == 2)
+      assert(r1.count(_.getAs[String]("host") == "b.test") == 1)
+      // admitted in priority order
+      assert(r1.filter(_.getAs[String]("host") == "a.test")
+        .map(_.getAs[String]("url")).toSet ==
+        Set("http://a.test/1", "http://a.test/2"))
+      // round 2: tokens refilled by rate → 2 more admitted
+      in.addData(
+        Candidate("http://a.test/6", "a.test", 2L, 6L),
+        Candidate("http://a.test/7", "a.test", 2L, 7L),
+        Candidate("http://a.test/8", "a.test", 2L, 8L))
+      q.processAllAvailable()
+      val r2 = spark.table("throttle_out").collect()
+      assert(r2.count(_.getAs[String]("host") == "a.test") == 4)
+    } finally q.stop()
+  }
+
+  test("robots rules are deterministic; filter drops disallowed paths") {
+    val host = "h1.test"
+    val dis = UrlFns.robotsDisallow(host)
+    assert(dis == UrlFns.robotsDisallow(host))
+    assert(dis.contains("/private"))
+    assert(!UrlFns.robotsAllowed(s"http://$host/private/x"))
+    dis.filter(_.startsWith("/p/")).foreach { p =>
+      assert(!UrlFns.robotsAllowed(s"http://$host$p"))
+      assert(!UrlFns.robotsAllowed(s"http://$host$p/sub"))
+    }
+    assert(UrlFns.robotsAllowed(s"http://$host/about"))
+  }
+
+  test("crawler with respectRobots never visits disallowed urls") {
+    val dir = tmpDir()
+    val sim = new FetchSim(numHosts = 10, pagesPerHost = 10)
+    val c = new Crawler(spark, dir, sim, CrawlConfig(
+      numBuckets = 4, perHostBudget = 5, perBucketBudget = 100,
+      respectRobots = true))
+    c.addSeeds(sim.seedUrls(8))
+    c.round(); c.round(); c.round()
+    val urls = c.frontier().select("url").collect().map(_.getString(0))
+    assert(urls.nonEmpty)
+    urls.foreach(u => assert(UrlFns.robotsAllowed(u), s"disallowed url in frontier: $u"))
+  }
+
+  test("streaming crawler: micro-batch rounds crawl the chain to closure, then resume-noop") {
+    val n = 12
+    val dir = tmpDir()
+    val sim = new FetchSim(chainLength = n)
+    val c = new Crawler(spark, dir, sim, CrawlConfig(4, 10, 100))
+    c.addSeeds(Seq("http://chain.test/p/0"))
+    val sc = new StreamingCrawler(spark, c, s"$dir/checkpoint")
+    val stats = sc.run(maxRounds = n + 3)
+    assert(stats.nonEmpty && stats.map(_.popped).sum == n)
+    assert(c.docs().count() == n)
+    // a fresh streaming crawler on the same workDir resumes and drains to 0
+    val c2 = new Crawler(spark, dir, sim, CrawlConfig(4, 10, 100))
+    val sc2 = new StreamingCrawler(spark, c2, s"$dir/checkpoint2")
+    val stats2 = sc2.run(maxRounds = 3)
+    assert(stats2.isEmpty, s"resumed crawl should be drained, got $stats2")
+    assert(c2.docs().count() == n)
+  }
+}
