@@ -43,6 +43,7 @@ class Crawler(
   import spark.implicits._
 
   val frontierTable = new IcebergishTable(s"$workDir/frontier", Frontier.schema)
+  val seenFilters = new graft.frontier.SeenFilterStore(workDir)
   private def docsDir = s"$workDir/docs"
 
   def lastRound: Int = frontierTable.currentSnapshot().map(_.round).getOrElse(-1)
@@ -62,7 +63,11 @@ class Crawler(
     val existing = frontierTable.read(spark)
     val fresh = Frontier.newOnly(existing, cands)
     val merged = existing.unionByName(fresh)
-    frontierTable.commit(merged, math.max(lastRound, 0), Seq("host_bucket"))
+    val seedRound = math.max(lastRound, 0)
+    val rows = frontierTable.commit(merged, seedRound, Seq("host_bucket"))
+    if (cfg.useSeenFilter)
+      seenFilters.updateAndSave(spark, seedRound, seedRound, cands, frontierTable.read(spark))
+    rows
   }
 
   private val timing = sys.env.contains("GRAFT_ROUND_TIMING")
@@ -135,8 +140,17 @@ class Crawler(
       .select(col("url"), (col("depth") + 1).as("depth"),
         (lit(r.toLong * 1000000L) + col("pos")).as("discovered_at"))
     val cands = Frontier.normalizeCandidates(rawNew, cfg.numBuckets, cfg.respectRobots)
-    val merged = Frontier.mergeRound(frontier, cands, popped, r)
+    // optional per-partition cuckoo refinement (north rule): provably-new
+    // candidates bypass the exact merge join; correctness never depends on
+    // it (advisory only — see SeenFilterStore)
+    val merged =
+      if (cfg.useSeenFilter) {
+        val (provablyNew, maybeSeen) = seenFilters.split(spark, r - 1, cands)
+        Frontier.mergeRound(frontier, maybeSeen, popped, r).unionByName(provablyNew)
+      } else Frontier.mergeRound(frontier, cands, popped, r)
     val frontierRows = timed("commit")(frontierTable.commit(merged, r, Seq("host_bucket")))
+    if (cfg.useSeenFilter)
+      seenFilters.updateAndSave(spark, r, r - 1, cands, frontierTable.read(spark))
     val newN = math.max(0L, frontierRows - math.max(frontierRowsHint, 0L))
 
     writeLineage(r, perBucketCounts, poppedN, fetchedOk, errs, newN, frontierRows)
@@ -204,7 +218,8 @@ case class CrawlConfig(
     unique: Boolean = true,
     saltFactor: Int = 8,
     boost: Double = 2000.0,
-    respectRobots: Boolean = false)
+    respectRobots: Boolean = false,
+    useSeenFilter: Boolean = false)
 
 case class RoundStats(
     round: Int,
