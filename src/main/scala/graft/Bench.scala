@@ -114,7 +114,7 @@ object Bench {
     val nLow = math.max(1, cpus / 4)
 
     // ---- headline: frontier fetch-round throughput at N vs 4N ----
-    val seedCount = sys.env.getOrElse("GRAFT_BENCH_SEEDS", "3000000").toLong
+    val seedCount = sys.env.getOrElse("GRAFT_BENCH_SEEDS", "2000000").toLong
     val rounds = sys.env.getOrElse("GRAFT_BENCH_ROUNDS", "2").toInt
     val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "1").toInt
     val skipCrawl = sys.env.contains("GRAFT_BENCH_SKIP_CRAWL")
@@ -122,7 +122,7 @@ object Bench {
     // matures across sessions inside this JVM — without this the FIRST
     // measured level absorbs compilation and loses 2-3x (measured)
     if (!skipCrawl) {
-      crawlBench(cpus, 200000, 1)
+      crawlBench(cpus, 100000, 1)
       deleteRecursively(new java.io.File("/dev/shm/graft-spark-local"))
     }
     // best-of-reps per level: the sandbox VM shows multi-x run-to-run noise
