@@ -231,6 +231,43 @@ object SparkEntry {
       Similarity.ivfTopK(assigned, emb.filter(col("vec_id") < 20),
         k = 5, nprobe = 4, cells = 16)
         .orderBy("q_id", "rk")
+    }),
+
+    // Winnowing rolling-hash document fingerprints (Schleimer et al.) —
+    // per-doc sketch stats; the sketch itself is not SQL-expressible →
+    // rows-only (exact semantics covered by OperatorsSpec/ScalarProperties).
+    "q31_winnow_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val sketch = TextOps.winnow(text)
+          (id, sketch.length.toLong,
+            if (sketch.isEmpty) 0L else sketch.min,
+            if (sketch.isEmpty) 0L else sketch.max)
+        }
+        .toDF("doc_id", "sketch_size", "sketch_min", "sketch_max")
+        .orderBy("doc_id")
+    }),
+
+    // Multimodal pipeline plumbing: synthetic binary media from docs →
+    // magic-byte mime sniff (custom expression) → stubbed decode →
+    // per-kind feature stats — rows-only (binary path, no SQL oracle).
+    "q32_media_features" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val media = Multimodal.mediaFromDocs(t(s, dir, "documents"))
+      val sniffed = Multimodal.withSniffedMime(media.toDF())
+      val feats = Multimodal.extractFeatures(media).toDF()
+      sniffed.select(col("media_id"), col("kind"), col("sniffed_mime"),
+          col("byte_size"))
+        .join(feats.select(col("media_id"),
+          round(element_at(col("features"), 1).cast("double"), 6).as("f0")),
+          Seq("media_id"))
+        .groupBy("kind", "sniffed_mime")
+        .agg(count(lit(1)).as("cnt"),
+          round(avg(col("byte_size")), 2).as("avg_bytes"),
+          round(avg(col("f0")), 6).as("avg_f0"))
+        .orderBy("kind")
     }))
 
   // Shared SQL fragments for the oracle side.
