@@ -23,17 +23,40 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// local[32] with cached fetch rounds needs real heap; the box has 128 GiB.
+// Xms=Xmx: heap-growth pauses would otherwise pollute the scaling bench.
+// 80g: the allocation-heavy fetch stage wants a ~20g eden while Spark's
+// execution memory (0.6 × heap, long-lived shuffle/sort buffers) must fit
+// the OLD gen — at 48g the two could not coexist and shuffle stages spent
+// up to half their time in full GCs (measured, round 2).
+val driverMem = sys.env.getOrElse("SPARK_DRIVER_MEM", "80g")
+// young gen at a QUARTER of the resolved heap (never a fixed size: a fixed
+// -Xmn above a smaller SPARK_DRIVER_MEM override would refuse to start the
+// JVM). A large eden absorbs the fetch stage's GB/s of short-lived
+// span/JSON buffers, but the old gen must still hold Spark's execution
+// memory (spark.memory.fraction 0.6 × heap of long-lived shuffle/sort
+// buffers): at -Xmn = heap/2 the old gen was SMALLER than execution memory
+// and shuffle-heavy stages spent 50-100% of task time in full GCs
+// (measured via stage metrics, round 2).
+val youngGen: Seq[String] = "^(\\d+)([gGmM])$".r
+  .findFirstMatchIn(driverMem)
+  .map { m =>
+    val mb = m.group(1).toLong * (if (m.group(2).toLowerCase == "g") 1024L else 1L)
+    Seq(s"-Xmn${math.max(mb / 4, 64L)}m")
+  }
+  .getOrElse(Seq.empty)
+// GC selectable for experiments: GRAFT_GC=g1|parallel. G1 is the default:
+// round-2 stage metrics showed ParallelGC spending up to 100% of task time
+// in full GCs on shuffle-heavy stages (Tungsten execution pages churn the
+// old gen, which ParallelGC only reclaims by full collection); G1 reclaims
+// those regions incrementally and eliminated the GC time entirely.
+val gcOpts: Seq[String] = sys.env.getOrElse("GRAFT_GC", "g1") match {
+  case "parallel" => Seq("-XX:+UseParallelGC") ++ youngGen
+  case _ => Seq("-XX:+UseG1GC")
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[32] with cached fetch rounds needs real heap; the box has 128 GiB.
-  // Xms=Xmx: heap-growth pauses would otherwise pollute the scaling bench.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-  // ParallelGC: the fetch stage is allocation-heavy; G1's concurrent
-  // cycles cost ~2x wall at 32 threads on this box (measured)
-  "-XX:+UseParallelGC",
-  // large young gen: the fetch stage allocates short-lived span/JSON
-  // buffers at GB/s; a big eden keeps survivors near zero
-  "-Xmn24g",
-)
+  s"-Xmx$driverMem",
+  s"-Xms$driverMem",
+) ++ gcOpts

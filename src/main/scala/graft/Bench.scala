@@ -25,14 +25,38 @@ object Bench {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
-      .config("spark.sql.shuffle.partitions", (2 * cores).toString)
+      // 4 waves of shuffle tasks: bucket-hash collisions skew partition
+      // sizes, and at 2×cores a straggler idles a whole wave's cores
+      .config("spark.sql.shuffle.partitions", (4 * cores).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // frontier bucket files are ~4 MB at bench scale: size the file-split
+      // heuristics so ONE bucket file = ONE read partition, otherwise
+      // Spark's small-file packing caps the streaming pop's parallelism at
+      // the pack count (~4) regardless of cores (IcebergishTable.read doc)
+      .config("spark.sql.files.maxPartitionBytes", (16 * 1024 * 1024).toString)
+      .config("spark.sql.files.openCostInBytes", (16 * 1024 * 1024).toString)
       // tmpfs for shuffle/spill: the sandbox's virtio disk is erratic and
       // would drown the N-vs-4N compute-scaling signal in I/O noise
       .config("spark.local.dir", "/dev/shm/graft-spark-local")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    if (sys.env.contains("GRAFT_STAGE_TIMING"))
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = sc.stageInfo
+          val wall = (i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L)) / 1e3
+          if (wall >= 0.5) {
+            val m = i.taskMetrics
+            System.err.println(f"[stage] id=${i.stageId}%-4d tasks=${i.numTasks}%-4d " +
+              f"wall=$wall%6.1fs run=${m.executorRunTime / 1e3}%7.1fs " +
+              f"cpu=${m.executorCpuTime / 1e9}%7.1fs gc=${m.jvmGCTime / 1e3}%6.1fs " +
+              f"shW=${m.shuffleWriteMetrics.bytesWritten / 1e6}%8.0fMB " +
+              i.name.takeWhile(_ != '\n').take(70))
+          }
+        }
+      })
     s
   }
 
@@ -46,9 +70,23 @@ object Bench {
       val benchRoot = java.nio.file.Paths.get("/dev/shm/graft-bench")
       java.nio.file.Files.createDirectories(benchRoot)
       val work = java.nio.file.Files.createTempDirectory(benchRoot, s"c$cores-").toString
-      val sim = new FetchSim(numHosts = 10000, pagesPerHost = 300, linksPerPage = 6)
-      val cfg = CrawlConfig(numBuckets = 64, perHostBudget = 100,
-        perBucketBudget = 20000, sampler = "fifo", saltFactor = 8)
+      // web sized so every measured round is a FULL round: per-host seeded
+      // supply (~440 distinct pages of 500) covers warmup + 2 rounds × 100
+      // budget with headroom — an exhausted pool would make a measured
+      // round degenerate and the rate meaningless
+      val sim = new FetchSim(numHosts = 20000, pagesPerHost = 500, linksPerPage = 6)
+      // storeFiles off: the BASELINE.json metric is FRONTIER fetch-round
+      // throughput; millions of tiny tmpfs body files per round would
+      // measure the filesystem, not the engine (body-store wall time is
+      // reported separately in BENCH.md). Budgets sized for ~2M-URL rounds
+      // — the 10^10-representative regime where per-round fixed costs
+      // (manifest, scheduling) are amortized.
+      // 128 buckets: enough write/pop parallelism for 32 cores without
+      // drowning the round in tiny files/tasks (at 256 the per-task open/
+      // setup lock contention dominated — measured 70% off-CPU task time)
+      val cfg = CrawlConfig(numBuckets = 128, perHostBudget = 100,
+        perBucketBudget = 40000, sampler = "fifo", saltFactor = 8,
+        storeFiles = false)
       val crawler = new Crawler(spark, work, sim, cfg)
       val seeds = spark.range(seedCount).select(
         concat(lit("http://h"),
@@ -114,9 +152,9 @@ object Bench {
     val nLow = math.max(1, cpus / 4)
 
     // ---- headline: frontier fetch-round throughput at N vs 4N ----
-    val seedCount = sys.env.getOrElse("GRAFT_BENCH_SEEDS", "2000000").toLong
+    val seedCount = sys.env.getOrElse("GRAFT_BENCH_SEEDS", "9000000").toLong
     val rounds = sys.env.getOrElse("GRAFT_BENCH_ROUNDS", "2").toInt
-    val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "1").toInt
+    val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "2").toInt
     val skipCrawl = sys.env.contains("GRAFT_BENCH_SKIP_CRAWL")
     // throwaway session: C2-tier JIT of the whole fetch/frontier path
     // matures across sessions inside this JVM — without this the FIRST
@@ -125,19 +163,26 @@ object Bench {
       crawlBench(cpus, 100000, 1)
       deleteRecursively(new java.io.File("/dev/shm/graft-spark-local"))
     }
-    // best-of-reps per level: the sandbox VM shows multi-x run-to-run noise
-    // (noisy neighbors / cpu steal); best-of is the standard estimator for
-    // the machine's actual capability at each parallelism level
-    def bestOf(cores: Int): (Long, Double) =
-      (1 to reps).map { _ =>
-        val r = crawlBench(cores, seedCount, rounds)
-        deleteRecursively(new java.io.File("/dev/shm/graft-spark-local"))
-        System.err.println(s"[bench] cores=$cores urls=${r._1} sec=${r._2} " +
-          s"rate=${r._1 / r._2}")
-        r
-      }.minBy { case (p, s) => s / p }
-    val (popLow, secLow) = if (skipCrawl) (1L, 1.0) else bestOf(nLow)
-    val (popHigh, secHigh) = if (skipCrawl) (1L, 1.0) else bestOf(cpus)
+    // best-of-reps per level, reps INTERLEAVED across levels (N, 4N, N,
+    // 4N, …): the sandbox VM shows multi-x run-to-run noise with slow
+    // drift (noisy neighbors / cpu steal) — interleaving decorrelates the
+    // drift from the level, and best-of estimates the machine's actual
+    // capability at each level
+    def one(cores: Int): (Long, Double) = {
+      val r = crawlBench(cores, seedCount, rounds)
+      deleteRecursively(new java.io.File("/dev/shm/graft-spark-local"))
+      System.err.println(s"[bench] cores=$cores urls=${r._1} sec=${r._2} " +
+        s"rate=${r._1 / r._2}")
+      r
+    }
+    val measured: Seq[(Int, (Long, Double))] =
+      if (skipCrawl) Seq.empty
+      else (1 to reps).flatMap(_ => Seq(nLow -> one(nLow), cpus -> one(cpus)))
+    def bestAt(cores: Int): (Long, Double) =
+      if (skipCrawl) (1L, 1.0)
+      else measured.filter(_._1 == cores).map(_._2).minBy { case (p, s) => s / p }
+    val (popLow, secLow) = bestAt(nLow)
+    val (popHigh, secHigh) = bestAt(cpus)
     // hardware envelope at the same two thread counts (best of 2)
     cpuCeiling(cpus, 50000) // warm
     val hwLow = (1 to 2).map(_ => cpuCeiling(nLow)).max
@@ -152,13 +197,19 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a failed query records -1 (failure sentinel), never a fast timing
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          name -> -1.0
+      }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.filter(_._2 >= 0).map(_._2).sum
     val crawlJson =
       s"""{"n_cores":$nLow,"n4_cores":$cpus,"seed_urls":$seedCount,"rounds":$rounds,""" +
         s""""urls_n":$popLow,"sec_n":$secLow,"urls_per_sec_n":$thrLow,""" +

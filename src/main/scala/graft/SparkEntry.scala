@@ -19,9 +19,12 @@ import graft.operators.{Dedup, Similarity, TextOps}
  * decode, chain self-join, union fan-in, URL decomposition) over the
  * TPC-H-ish tables so DuckDB can verify them; q20+ are the training-data
  * pipeline operators (dedup family, text analysis, similarity search).
- * Non-SQL-expressible variants (sign-LSH ANN, SimHash, IVF) ship without
- * an oracle → driver records a rows-only check; their semantics are
- * covered by OperatorsSpec instead.
+ * SimHash (q28) and winnowing (q31) are hash-verified end to end by
+ * recomputing the full sketch in DuckDB (md5-derived / mod-2^61 hashes
+ * chosen for exactly that portability). Only the recall<1-by-design ANN
+ * variants (q29 sign-LSH, q30 IVF) and the binary multimodal path (q32)
+ * ship without an oracle → rows-only; their semantics are covered by
+ * OperatorsSpec (incl. measured recall floors vs the exact baseline).
  */
 object SparkEntry {
 
@@ -47,13 +50,24 @@ object SparkEntry {
     }),
 
     // O5 host-dim normalization: custom Catalyst `etld1` expression
-    // (store/store.go:339-344 semantics).
+    // (store/store.go:339-344 semantics). The fixture exercises every
+    // branch — two-level suffix, deep subdomain, case normalization, IP →
+    // NULL, bare suffix → NULL, dotless → NULL, PSL wildcard fallback —
+    // and the oracle encodes the EXPECTED output per branch (it does not
+    // re-implement etld1, so a wrong PSL fallback diverges).
     "q02_etld1_hosts" -> ((s, dir) => {
       GraftExpressions.register(s)
+      val k = col("c_custkey")
+      val host = when(k % 7 === 0, concat(lit("WWW.Sub.cust"), k, lit(".co.uk")))
+        .when(k % 7 === 1, concat(lit("a.b.cust"), k, lit(".com.au")))
+        .when(k % 7 === 2, concat(lit("www.Cust"), k, lit(".COM")))
+        .when(k % 7 === 3, concat(lit("10.0."), k % 256, lit(".1")))
+        .when(k % 7 === 4, lit("co.uk"))
+        .when(k % 7 === 5, lit("localhost"))
+        .otherwise(concat(lit("cust"), k, lit(".github.io")))
       t(s, dir, "customer")
-        .withColumn("host", concat(lit("www."), lower(col("c_name")), lit(".com")))
         .select(col("c_custkey"),
-          GraftExpressions.etld1(col("host")).as("registrable"))
+          GraftExpressions.etld1(host).as("registrable"))
         .orderBy(col("c_custkey"))
     }),
 
@@ -132,12 +146,18 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
-    // O6 URL decomposition: parse_url components + custom etld1.
+    // O6 URL decomposition: parse_url components + custom etld1 over hosts
+    // that hit two-level-suffix, normal, and wildcard-fallback branches
+    // (oracle states the expected registrable per branch).
     "q10_url_parts" -> ((s, dir) => {
       GraftExpressions.register(s)
+      val k = col("s_suppkey")
+      val domain = when(k % 3 === 0, lit(".co.uk"))
+        .when(k % 3 === 1, lit(".example.com"))
+        .otherwise(lit(".com.au"))
       t(s, dir, "supplier")
-        .withColumn("url", concat(lit("https://www.s"), col("s_suppkey"),
-          lit(".example.com/cat/"), col("s_nationkey"),
+        .withColumn("url", concat(lit("https://www.s"), k, domain,
+          lit("/cat/"), col("s_nationkey"),
           lit("?id="), col("s_suppkey")))
         .select(col("s_suppkey"),
           parse_url(col("url"), lit("HOST")).as("host"),
@@ -177,7 +197,9 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // n-gram Jaccard near-dup pairs (length-banded exact join).
+    // n-gram Jaccard near-dup pairs — prefix-filtered exact set-similarity
+    // join with COMPLETE recall, so the oracle is pure brute force (no
+    // blocking replicated on the DuckDB side: a recall loss would diverge).
     "q24_jaccard_pairs" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 3, threshold = 0.5)
         .orderBy("a_id", "b_id")
@@ -204,15 +226,14 @@ object SparkEntry {
         .orderBy("a_id", "b_id")
     }),
 
-    // SimHash near-dup pairs — sketch not portable to SQL → rows-only.
+    // SimHash near-dup pairs. The sketch's token hash is md5-derived
+    // (Dedup.md5Hash60) precisely so DuckDB can recompute the full 60-bit
+    // SimHash per doc; pigeonhole blocking has recall 1.0 at hamming ≤ 3,
+    // so the oracle brute-forces all pairs — a full hash-verified check.
     "q28_simhash_pairs" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      // sketch every doc; emit per-hamming histogram of blocked pairs
-      Dedup.simhashPairs(docs, maxHamming = 3)
-        .groupBy("hamming").agg(count(lit(1)).as("cnt"))
-        .unionByName(docs.select(lit(-1).cast("int").as("hamming"),
-          count(lit(1)).as("cnt")))
-        .orderBy("hamming")
+      Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3)
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy("a_id", "b_id")
     }),
 
     // Sign-LSH ANN top-k — recall<1 by design → rows-only (recall floor
@@ -224,30 +245,28 @@ object SparkEntry {
         .orderBy("q_id", "rk")
     }),
 
-    // IVF-style coarse ANN — rows-only.
+    // IVF coarse ANN over seeded Lloyd's k-means centroids — rows-only
+    // (recall floor vs brute force asserted in OperatorsSpec).
     "q30_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val assigned = Similarity.ivfAssign(emb, cells = 16)
-      Similarity.ivfTopK(assigned, emb.filter(col("vec_id") < 20),
-        k = 5, nprobe = 4, cells = 16)
+      val centroids = Similarity.kmeansCentroids(emb, cells = 16, iters = 4)
+      val assigned = Similarity.ivfAssign(emb, centroids)
+      Similarity.ivfTopK(assigned, centroids, emb.filter(col("vec_id") < 20),
+        k = 5, nprobe = 4)
         .orderBy("q_id", "rk")
     }),
 
-    // Winnowing rolling-hash document fingerprints (Schleimer et al.) —
-    // per-doc sketch stats; the sketch itself is not SQL-expressible →
-    // rows-only (exact semantics covered by OperatorsSpec/ScalarProperties).
+    // Winnowing rolling-hash document fingerprints (Schleimer et al.,
+    // SIGMOD'03). Hash arithmetic is mod 2^61 so DuckDB reproduces every
+    // k-gram hash in 128-bit SQL — the oracle recomputes the FULL distinct
+    // fingerprint set per doc, not just sketch stats.
     "q31_winnow_fingerprint" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents").select(col("doc_id"), col("text"))
         .as[(Long, String)]
-        .map { case (id, text) =>
-          val sketch = TextOps.winnow(text)
-          (id, sketch.length.toLong,
-            if (sketch.isEmpty) 0L else sketch.min,
-            if (sketch.isEmpty) 0L else sketch.max)
-        }
-        .toDF("doc_id", "sketch_size", "sketch_min", "sketch_max")
-        .orderBy("doc_id")
+        .flatMap { case (id, text) => TextOps.winnow(text).map(fp => (id, fp)) }
+        .toDF("doc_id", "fp")
+        .orderBy("doc_id", "fp")
     }),
 
     // Multimodal pipeline plumbing: synthetic binary media from docs →
@@ -290,7 +309,16 @@ object SparkEntry {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q02_etld1_hosts" ->
-      """SELECT c_custkey, lower(c_name) || '.com' AS registrable
+      """SELECT c_custkey,
+        |  CASE c_custkey % 7
+        |    WHEN 0 THEN 'cust' || c_custkey || '.co.uk'
+        |    WHEN 1 THEN 'cust' || c_custkey || '.com.au'
+        |    WHEN 2 THEN 'cust' || c_custkey || '.com'
+        |    WHEN 3 THEN NULL
+        |    WHEN 4 THEN NULL
+        |    WHEN 5 THEN NULL
+        |    WHEN 6 THEN 'github.io'
+        |  END AS registrable
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "q03_frontier_antijoin" ->
       """SELECT c_custkey FROM customer c
@@ -330,10 +358,17 @@ object SparkEntry {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q10_url_parts" ->
       """SELECT s_suppkey,
-        |  'www.s' || s_suppkey || '.example.com' AS host,
+        |  'www.s' || s_suppkey ||
+        |    (CASE s_suppkey % 3 WHEN 0 THEN '.co.uk'
+        |                        WHEN 1 THEN '.example.com'
+        |                        ELSE '.com.au' END) AS host,
         |  '/cat/' || s_nationkey AS path,
         |  'id=' || s_suppkey AS query,
-        |  'example.com' AS registrable
+        |  CASE s_suppkey % 3
+        |    WHEN 0 THEN 's' || s_suppkey || '.co.uk'
+        |    WHEN 1 THEN 'example.com'
+        |    ELSE 's' || s_suppkey || '.com.au'
+        |  END AS registrable
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
     "q20_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
@@ -374,12 +409,12 @@ object SparkEntry {
     },
     "q24_jaccard_pairs" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
-        |sh AS (SELECT doc_id, (len(t) // 16)::INT AS band, $shingleSql AS s FROM toks)
+        |sh AS (SELECT doc_id, $shingleSql AS s FROM toks)
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |  round(len(list_intersect(a.s, b.s))::DOUBLE
         |        / len(list_distinct(a.s || b.s))::DOUBLE, 6) AS jaccard
         |FROM sh a, sh b
-        |WHERE a.doc_id < b.doc_id AND abs(a.band - b.band) <= 1
+        |WHERE a.doc_id < b.doc_id
         |  AND round(len(list_intersect(a.s, b.s))::DOUBLE
         |            / len(list_distinct(a.s || b.s))::DOUBLE, 6) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
@@ -413,5 +448,52 @@ object SparkEntry {
         |WHERE a.vec_id < b.vec_id
         |  AND round(list_cosine_similarity(a.embedding::DOUBLE[],
         |                                   b.embedding::DOUBLE[]), 6) >= 0.8
-        |ORDER BY a_id, b_id""".stripMargin)
+        |ORDER BY a_id, b_id""".stripMargin,
+    // full 60-bit SimHash recomputed in SQL (md5-derived token hash — the
+    // reason Dedup.md5Hash60 exists), then brute-force Hamming pairs: the
+    // Spark side's pigeonhole blocking must lose nothing (recall 1.0)
+    "q28_simhash_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+        |hs AS (SELECT doc_id,
+        |  [('0x' || substr(md5(x), 1, 15))::BIGINT for x in tk] AS h FROM t),
+        |sk AS (SELECT doc_id,
+        |  list_sum([CASE WHEN list_sum([CASE WHEN (x >> j) & 1 = 1
+        |                                THEN 1 ELSE -1 END for x in h]) > 0
+        |            THEN (1::BIGINT << j) ELSE 0 END for j in range(60)]) AS sh
+        |FROM hs)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+        |FROM sk a, sk b
+        |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
+    // every k-gram Karp-Rabin hash (mod 2^61, computed in HUGEINT), window
+    // mins, distinct sketch — the full winnow semantics, per doc
+    "q31_winnow_fingerprint" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+        |  FROM documents),
+        |hs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(s) = 0 THEN []
+        |         WHEN length(s) < 5 THEN
+        |           [list_reduce([ord(s[i])::HUGEINT for i in range(1, length(s)+1)],
+        |                        (a, c) -> (a * 1000000007 + c) % (1::HUGEINT << 61))]
+        |         ELSE [
+        |           ((((((((ord(s[i])::HUGEINT * 1000000007 + ord(s[i+1])) % (1::HUGEINT << 61))
+        |              * 1000000007 + ord(s[i+2])) % (1::HUGEINT << 61))
+        |              * 1000000007 + ord(s[i+3])) % (1::HUGEINT << 61))
+        |              * 1000000007 + ord(s[i+4])) % (1::HUGEINT << 61))
+        |           for i in range(1, length(s) - 3)]
+        |    END AS h
+        |  FROM norm),
+        |mins AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(h) = 0 THEN []
+        |         WHEN len(h) < 4 THEN [list_min(h)]
+        |         ELSE list_distinct([least(h[i], h[i+1], h[i+2], h[i+3])
+        |                             for i in range(1, len(h) - 2)])
+        |    END AS fps
+        |  FROM hs)
+        |SELECT doc_id, unnest(fps)::BIGINT AS fp FROM mins
+        |ORDER BY doc_id, fp""".stripMargin)
 }

@@ -13,95 +13,111 @@ import graft.model.Model._
  * a DataFrame-join formulation of the same semantics is exposed through
  * SparkEntry queries for the oracle).
  *
- * Semantics mirrored exactly:
+ * Semantics mirrored exactly (each mapped to its reference loop):
  *  - requests processed in arrival order (worker.go:1026-1050);
  *  - `data:` scheme skipped (worker.go:1032-1034);
  *  - a request whose loader_id matches a PRIOR request_id parents onto that
- *    action (worker.go:1043-1046);
- *  - first response / FIRST error only per request (worker.go:1052-1070);
- *  - initiator classification: parent status 300-399 → `redirect`; no
- *    parent → `user`; otherwise the event's own kind (worker.go:1081-1091).
+ *    action AND backfills the parent's response with this request's
+ *    redirectResponse — real CDP often emits no standalone responseReceived
+ *    for a redirect hop (worker.go:1043-1046);
+ *  - response events then OVERWRITE any backfill, last event wins
+ *    (worker.go:1052-1059); FIRST error only (1061-1070); last body wins
+ *    (1072-1079);
+ *  - initiator classification (worker.go:1081-1091): parent WITH a response
+ *    of status 300-399 → `redirect`; parent with a non-3xx response → the
+ *    event's own kind; parent with NO response, or no parent → `user`.
  */
 object Correlate {
 
   /** "text/"-prefixed bodies only — the reference's default store allowlist
     * (store/store.go:36-38). */
   def mimeAllowed(mime: String): Boolean =
-    mime != null && (mime.startsWith("text/") || mime == "text/html")
+    mime != null && mime.startsWith("text/")
 
   def actionsFromEvents(fr: FetchResult): Seq[Action] = {
-    val respByRid = new java.util.HashMap[String, RespEvent]()
-    fr.responses.foreach(r => respByRid.putIfAbsent(r.request_id, r))
-    val errByRid = new java.util.HashMap[String, ErrEvent]()
-    fr.errors.foreach(e => errByRid.putIfAbsent(e.request_id, e))
-    val bodyByRid = new java.util.HashMap[String, BodyEvent]()
-    fr.bodies.foreach(b => bodyByRid.putIfAbsent(b.request_id, b))
-
-    val ridToIdx = new java.util.HashMap[String, Int]()
-    val out = scala.collection.mutable.ArrayBuffer.empty[Action]
     val reqs = fr.requests.sortBy(_.ts) // arrival order; ts is the virtual clock
+      .filter(r => !r.url.startsWith("data:")) // worker.go:1032-1034
 
-    reqs.foreach { req =>
-      if (!req.url.startsWith("data:")) {
-        val idx = out.length
-        val parentIdx: Int =
-          if (req.loader_id.nonEmpty && ridToIdx.containsKey(req.loader_id) &&
-            req.loader_id != req.request_id) ridToIdx.get(req.loader_id)
-          else -1
-        val resp = respByRid.get(req.request_id)
-        val err = errByRid.get(req.request_id)
-        val body = bodyByRid.get(req.request_id)
-
-        val parentStatus = if (parentIdx >= 0) out(parentIdx).status else -1
-        val initiator =
-          if (parentStatus >= 300 && parentStatus < 400) "redirect"
-          else if (parentIdx < 0) "user"
-          else req.initiator_kind
-
-        val (sha, size, mimeDet, bodyText) =
-          if (body == null) ("", 0L, "", "")
-          else {
-            val det = UrlFns.sniffMime(body.body)
-            val text =
-              if (det.startsWith("text/"))
-                new String(body.body, java.nio.charset.StandardCharsets.UTF_8)
-              else ""
-            (UrlFns.sha256Hex(body.body), body.body.length.toLong, det, text)
-          }
-
-        out += Action(
-          idx = idx,
-          parent_idx = parentIdx,
-          request_id = req.request_id,
-          url = req.url,
-          method = req.method,
-          initiator_kind = initiator,
-          stack_func = req.stack_func,
-          stack_line = req.stack_line,
-          stack_col = req.stack_col,
-          req_headers = req.headers,
-          post_data = req.post_data,
-          status = if (resp == null) 0 else resp.status,
-          resp_headers = if (resp == null) Map.empty else resp.headers,
-          mime_browser = if (resp == null) "" else resp.mime,
-          protocol = if (resp == null) "" else resp.protocol,
-          sec_protocol = if (resp == null) "" else resp.sec_protocol,
-          sec_key_exchange = if (resp == null) "" else resp.sec_key_exchange,
-          sec_issuer = if (resp == null) "" else resp.sec_issuer,
-          sec_cipher = if (resp == null) "" else resp.sec_cipher,
-          sec_san_list = if (resp == null) Seq.empty else resp.sec_san_list,
-          sec_subject = if (resp == null) "" else resp.sec_subject,
-          sec_valid_from = if (resp == null) 0L else resp.sec_valid_from,
-          sec_valid_to = if (resp == null) 0L else resp.sec_valid_to,
-          error = if (err == null) "" else err.error,
-          body_sha256 = sha,
-          body_size = size,
-          mime_determined = mimeDet,
-          body_text = bodyText)
-        ridToIdx.put(req.request_id, idx)
-      }
+    // pass 1 (requests loop, worker.go:1026-1050): indices, parent links,
+    // redirectResponse backfill into the parent slot
+    val ridToIdx = new java.util.HashMap[String, Int]()
+    val parentIdx = new Array[Int](reqs.length)
+    val resp = new Array[RespEvent](reqs.length)
+    reqs.zipWithIndex.foreach { case (req, idx) =>
+      val p =
+        if (req.loader_id.nonEmpty && ridToIdx.containsKey(req.loader_id) &&
+          req.loader_id != req.request_id) ridToIdx.get(req.loader_id)
+        else -1
+      parentIdx(idx) = p
+      if (p >= 0) resp(p) = req.redirect_resp.orNull // even when None (Go sets nil)
+      ridToIdx.put(req.request_id, idx)
     }
-    out.toSeq
+
+    // pass 2 (responses loop, worker.go:1052-1059): events overwrite, last wins
+    fr.responses.foreach { r =>
+      val idx = ridToIdx.getOrDefault(r.request_id, -1)
+      if (idx >= 0) resp(idx) = r
+    }
+    val errByRid = new java.util.HashMap[String, ErrEvent]()
+    fr.errors.foreach(e => errByRid.putIfAbsent(e.request_id, e)) // FIRST error
+    val bodyByRid = new java.util.HashMap[String, BodyEvent]()
+    fr.bodies.foreach(b => bodyByRid.put(b.request_id, b)) // last body
+
+    // pass 3 (classification loop, worker.go:1081-1091) + assembly
+    reqs.zipWithIndex.map { case (req, idx) =>
+      val p = parentIdx(idx)
+      val r = resp(idx)
+      val err = errByRid.get(req.request_id)
+      val body = bodyByRid.get(req.request_id)
+
+      val parentResp = if (p >= 0) resp(p) else null
+      val initiator =
+        if (p >= 0 && parentResp != null) {
+          if (parentResp.status >= 300 && parentResp.status < 400) "redirect"
+          else req.initiator_kind
+        } else "user" // no parent, OR parent without a response
+
+      val (sha, size, mimeDet, bodyText) =
+        if (body == null) ("", 0L, "", "")
+        else {
+          val det = UrlFns.sniffMime(body.body)
+          val text =
+            if (det.startsWith("text/"))
+              new String(body.body, java.nio.charset.StandardCharsets.UTF_8)
+            else ""
+          (UrlFns.sha256Hex(body.body), body.body.length.toLong, det, text)
+        }
+
+      Action(
+        idx = idx,
+        parent_idx = p,
+        request_id = req.request_id,
+        url = req.url,
+        method = req.method,
+        initiator_kind = initiator,
+        stack_func = req.stack_func,
+        stack_line = req.stack_line,
+        stack_col = req.stack_col,
+        req_headers = req.headers,
+        post_data = req.post_data,
+        status = if (r == null) 0 else r.status,
+        resp_headers = if (r == null) Map.empty else r.headers,
+        mime_browser = if (r == null) "" else r.mime,
+        protocol = if (r == null) "" else r.protocol,
+        sec_protocol = if (r == null) "" else r.sec_protocol,
+        sec_key_exchange = if (r == null) "" else r.sec_key_exchange,
+        sec_issuer = if (r == null) "" else r.sec_issuer,
+        sec_cipher = if (r == null) "" else r.sec_cipher,
+        sec_san_list = if (r == null) Seq.empty else r.sec_san_list,
+        sec_subject = if (r == null) "" else r.sec_subject,
+        sec_valid_from = if (r == null) 0L else r.sec_valid_from,
+        sec_valid_to = if (r == null) 0L else r.sec_valid_to,
+        error = if (err == null) "" else err.error,
+        body_sha256 = sha,
+        body_size = size,
+        mime_determined = mimeDet,
+        body_text = bodyText)
+    }
   }
 
   /** Assemble a [[Session]]: page error = first action's error

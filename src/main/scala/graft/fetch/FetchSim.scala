@@ -63,6 +63,16 @@ class FetchSim(
           ConsoleEvent("b", 1, 32, "anonymous", url)))
       case "/redirect" =>
         redirectChain(url, Seq("/redirect2", "/redirect3"), "hello world")
+      case "/redirect-cdp" =>
+        // SAME chain, but in real-CDP event shape: no standalone response
+        // events for the hops — each hop's response rides on the NEXT
+        // request's redirectResponse (the worker.go:1043-1046 backfill path
+        // a live fetcher exercises). Must correlate identically.
+        redirectChainCdp(url, Seq("/redirect2", "/redirect3"), "hello world")
+      case "/orphan" =>
+        // a parented request whose parent never gets ANY response: the
+        // reference classifies the CHILD as `user` (worker.go:1088-1091)
+        orphanParent(url)
       case "/subresource" =>
         withSubresource(url, "<html><body><img src=\"/missing.png\"></body></html>",
           "/missing.png", subStatus = 404, subInitiator = "parser")
@@ -177,7 +187,8 @@ class FetchSim(
       emptyResp(rid, 0.05).copy(status = status, headers = respHeaders(mime), mime = mime))
     val bodyEv = BodyEvent(rid, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     FetchResult(url, Seq(req), Seq(resp), Seq.empty, Seq(bodyEv), Seq.empty,
-      Seq(screenshotRef(url)), 0.0, 0.5, 1.5)
+      Seq(screenshotRef(url)), 0.0, 0.5, 1.5,
+      Seq(screenshotBytes(url)))
   }
 
   /** N-hop same-host redirect chain ending in a 200 with `finalBody`
@@ -202,7 +213,53 @@ class FetchSim(
     val bodyEv = BodyEvent(rids.last,
       finalBody.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     FetchResult(url, reqs, resps, Seq.empty, Seq(bodyEv), Seq.empty,
-      Seq(screenshotRef(url)), 0.0, 0.5, 1.5)
+      Seq(screenshotRef(url)), 0.0, 0.5, 1.5,
+      Seq(screenshotBytes(url)))
+  }
+
+  /** redirectChain in REAL CDP event shape: hop responses exist ONLY as
+    * `redirect_resp` on the following request (no responseReceived for the
+    * hop). Output must equal the explicit-response form. */
+  private def redirectChainCdp(url: String, hops: Seq[String],
+      finalBody: String): FetchResult = {
+    val base = new java.net.URI(url)
+    val origin = base.getScheme + "://" + base.getHost
+    val urls = url +: hops.map(origin + _)
+    val rids = urls.indices.map(i => s"r${i}_" + sha8(url))
+    val reqs = urls.indices.map { i =>
+      val redirResp =
+        if (i == 0) None
+        else Some(emptyResp(rids(i - 1), 0.05 + 0.01 * (i - 1)).copy(status = 301,
+          headers = respHeaders("", "Location" -> urls(i))))
+      ReqEvent(rids(i), if (i == 0) "" else rids(i - 1), urls(i), "GET",
+        reqHeaders(urls(i)), "", if (i == 0) "user" else "other", "", 0, 0,
+        0.01 * (i + 1), redirResp)
+    }
+    val lastResp = emptyResp(rids.last, 0.1).copy(status = 200,
+      headers = respHeaders("text/plain"), mime = "text/plain")
+    val bodyEv = BodyEvent(rids.last,
+      finalBody.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    FetchResult(url, reqs, Seq(lastResp), Seq.empty, Seq(bodyEv), Seq.empty,
+      Seq(screenshotRef(url)), 0.0, 0.5, 1.5,
+      Seq(screenshotBytes(url)))
+  }
+
+  /** A main request that never receives a response, plus a script-initiated
+    * child parented onto it — reference classifies the child `user`
+    * (worker.go:1088-1091: parent without response). */
+  private def orphanParent(url: String): FetchResult = {
+    val base = new java.net.URI(url)
+    val origin = base.getScheme + "://" + base.getHost
+    val mainRid = "r0_" + sha8(url)
+    val childRid = "r1_" + sha8(url)
+    val main = ReqEvent(mainRid, "", url, "GET", reqHeaders(url), "", "user", "", 0, 0, 0.01)
+    val childUrl = origin + "/beacon"
+    val child = ReqEvent(childRid, mainRid, childUrl, "GET", reqHeaders(childUrl), "",
+      "script", "send", 1, 2, 0.02)
+    val childResp = emptyResp(childRid, 0.05).copy(status = 200,
+      headers = respHeaders("text/plain"), mime = "text/plain")
+    FetchResult(url, Seq(main, child), Seq(childResp), Seq.empty, Seq.empty,
+      Seq.empty, Seq.empty, 0.0, 0.0, 0.1)
   }
 
   private def withSubresource(url: String, html: String, subPath: String,
@@ -253,6 +310,25 @@ class FetchSim(
     val host = UrlFns.hostOf(url)
     val dir = Option(UrlFns.etld1(host)).getOrElse(host)
     s"screenshots/$dir/${sha8(url)}-1366x768.png"
+  }
+
+  /** Deterministic stand-in PNG payload (real 8-byte PNG magic + seeded
+    * bytes): no renderer exists in this sandbox, but the STORE path —
+    * write, domain layout, readback-intact (TestScreenshotStore,
+    * store/file_test.go:92-157) — is the real thing. A CDP fetcher swaps
+    * in real capture bytes here. */
+  def screenshotBytes(url: String): Array[Byte] = {
+    val out = new Array[Byte](256)
+    val magic = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    System.arraycopy(magic, 0, out, 0, 8)
+    var h = mix("png|" + url)
+    var i = 8
+    while (i < out.length) {
+      if (i % 8 == 0) h = FetchSim.fnv1a(java.lang.Long.toHexString(h))
+      out(i) = ((h >>> ((i % 8) * 8)) & 0xff).toByte
+      i += 1
+    }
+    out
   }
 
   private def mix(s: String): Long = fnv1a(s"$seed|$s")

@@ -19,6 +19,15 @@ final class CuckooFilter private (val numBuckets: Int, val table: Array[Short])
 
   import CuckooFilter._
 
+  /** Homeless-fingerprint stash: when the kick loop exhausts, the evicted
+    * fingerprint lands HERE instead of being dropped — otherwise a
+    * previously-added key could report mightContain=false, breaking the
+    * documented no-false-negatives contract. Normally empty; a growing
+    * stash is the resize signal. */
+  private val stash = scala.collection.mutable.ArrayBuffer.empty[Short]
+
+  def stashSize: Int = stash.length
+
   def this(capacity: Int) = this(
     CuckooFilter.bucketsFor(capacity),
     new Array[Short](CuckooFilter.bucketsFor(capacity) * CuckooFilter.SLOTS))
@@ -47,8 +56,10 @@ final class CuckooFilter private (val numBuckets: Int, val table: Array[Short])
   }
 
   /** Insert; returns false only when the filter is saturated (caller
-    * should resize — at our sizing this is ~never). Idempotent-ish: a
-    * pre-`contains` check keeps duplicates from eating slots. */
+    * should resize). Membership stays correct even then: an exhausted kick
+    * loop stashes the homeless fingerprint rather than dropping it, so
+    * `mightContain` NEVER returns false for an added key. Idempotent-ish:
+    * a pre-`contains` check keeps duplicates from eating slots. */
   def add(key: String): Boolean = {
     val h = hash(key)
     val fp = fingerprint(h)
@@ -70,7 +81,10 @@ final class CuckooFilter private (val numBuckets: Int, val table: Array[Short])
       if (insertAt(i, f)) return true
       n += 1
     }
-    false
+    // table saturated: keep the evicted fingerprint queryable in the stash
+    // (checked by mightContain) and report saturation so the caller resizes
+    stash += f
+    stash.length <= 4
   }
 
   /** No false negatives: returns true for every added key. */
@@ -78,7 +92,7 @@ final class CuckooFilter private (val numBuckets: Int, val table: Array[Short])
     val h = hash(key)
     val fp = fingerprint(h)
     val i1 = idx(h >>> 16)
-    containsAt(i1, fp) || containsAt(altIndex(i1, fp), fp)
+    containsAt(i1, fp) || containsAt(altIndex(i1, fp), fp) || stash.contains(fp)
   }
 
   /** Remove one copy of the key's fingerprint (cuckoo's edge over Bloom —
@@ -99,11 +113,14 @@ final class CuckooFilter private (val numBuckets: Int, val table: Array[Short])
   }
 
   def serialize(): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(4 + table.length * 2)
+    val bb = java.nio.ByteBuffer.allocate(4 + table.length * 2 + stash.length * 2)
     bb.putInt(numBuckets)
     table.foreach(bb.putShort)
+    stash.foreach(bb.putShort) // trailing shorts = stash (usually none)
     bb.array()
   }
+
+  private[frontier] def restoreStash(fps: Seq[Short]): Unit = stash ++= fps
 }
 
 object CuckooFilter {
@@ -141,6 +158,10 @@ object CuckooFilter {
     val table = new Array[Short](nb * SLOTS)
     var i = 0
     while (i < table.length) { table(i) = bb.getShort; i += 1 }
-    new CuckooFilter(nb, table)
+    val cf = new CuckooFilter(nb, table)
+    val stash = scala.collection.mutable.ArrayBuffer.empty[Short]
+    while (bb.remaining() >= 2) stash += bb.getShort
+    cf.restoreStash(stash.toSeq)
+    cf
   }
 }

@@ -39,14 +39,36 @@ object Frontier {
     pmod(xxhash64(host), lit(numBuckets)).cast(IntegerType)
 
   /**
+   * First-seen priority packed into ONE non-negative BIGINT —
+   * `src(1b) | depth(15b) | discovered_at(47b)` — so the frontier's dedup
+   * aggregations are `min(long)`: a fixed-width buffer Spark executes as a
+   * pure HashAggregate. A `min(struct(...))` buffer is var-width, which
+   * silently planned as SortAggregate and re-sorted the whole merge input
+   * every round (found via stage metrics, round 2). Bounds asserted:
+   * depth < 2^15, discovered_at < 2^47 (10^10-scale discovery stamps fit).
+   */
+  def packPrio(src: Column, depth: Column, discoveredAt: Column): Column =
+    src.cast(LongType) * lit(1L << 62) +
+      depth.cast(LongType) * lit(1L << 47) + discoveredAt
+
+  def unpackDepth(k: Column): Column =
+    pmod(call_function("shiftright", k, lit(47)), lit(1L << 15)).cast(IntegerType)
+
+  def unpackDiscoveredAt(k: Column): Column =
+    k.bitwiseAND(lit((1L << 47) - 1))
+
+  /**
    * Normalize raw candidate URLs (columns: url, depth, discovered_at) into
    * frontier shape. Drops `data:` URLs (worker.go:1032-1034) and URLs with
    * no parseable host; lowercases/trims like ReadDomainsFromFile
    * (kraaler.go:38-48). In-batch dedup keeps the first-seen (min depth,
    * then min discovered_at) occurrence.
    */
+  /** @param dedup when false, skips the in-batch groupBy — callers feeding
+    *   [[mergeRound]] leave dedup to ITS single aggregation (min-struct
+    *   semantics are identical), saving one full candidate shuffle/round. */
   def normalizeCandidates(raw: DataFrame, numBuckets: Int,
-      respectRobots: Boolean = false): DataFrame = {
+      respectRobots: Boolean = false, dedup: Boolean = true): DataFrame = {
     graft.functions.GraftExpressions.register(raw.sparkSession)
     val preFiltered = raw
       .withColumn("url", trim(col("url")))
@@ -58,13 +80,18 @@ object Frontier {
       .withColumn("host", graft.functions.GraftExpressions.url_host(col("url")))
       .filter(col("host").isNotNull)
       .withColumn("host_bucket", hostBucket(col("host"), numBuckets))
-    withHost
-      .groupBy(col("url"))
-      .agg(min(struct(col("depth"), col("discovered_at"), col("host"),
-        col("host_bucket"))).as("s"))
-      .select(col("url"), col("s.host").as("host"),
-        col("s.host_bucket").as("host_bucket"), col("s.depth").as("depth"),
-        col("s.discovered_at").as("discovered_at"),
+    if (!dedup)
+      withHost.select(col("url"), col("host"), col("host_bucket"),
+        col("depth"), col("discovered_at"), lit(0L).as("last_visit"))
+    else withHost
+      // host/host_bucket are functions of url → part of the KEY (groups
+      // unchanged); the only aggregate is min over the packed priority —
+      // fixed-width buffer ⇒ HashAggregate, never a sort
+      .groupBy(col("url"), col("host"), col("host_bucket"))
+      .agg(min(packPrio(lit(0), col("depth"), col("discovered_at"))).as("k"))
+      .select(col("url"), col("host"), col("host_bucket"),
+        unpackDepth(col("k")).as("depth"),
+        unpackDiscoveredAt(col("k")).as("discovered_at"),
         lit(0L).as("last_visit"))
   }
 
@@ -83,12 +110,19 @@ object Frontier {
     if (n == 0) return candidates
     if (n < bloomMinRows)
       return candidates.join(frontier.select("url"), Seq("url"), "left_anti")
-    val bloom = frontier.stat.bloomFilter("url", math.max(n, 64L), 0.03)
-    val bBloom = frontier.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((u: String) => bBloom.value.mightContain(u))
-    val maybeSeen = candidates.filter(mightContain(col("url")))
-    val definitelyNew = candidates.filter(!mightContain(col("url")))
-    val survivors = maybeSeen.join(frontier.select("url"), Seq("url"), "left_anti")
+    graft.functions.GraftExpressions.register(frontier.sparkSession)
+    // build over xxhash64(url) longs; probe with Spark's codegen'd
+    // BloomFilterMightContain (the same expression a runtime-filter join
+    // injects) — the sketch rides the plan as a binary literal, no UDF
+    val bloom = frontier.select(xxhash64(col("url")).as("h"))
+      .stat.bloomFilter("h", math.max(n, 64L), 0.03)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val maybe = call_function("bloom_might_contain",
+      lit(bos.toByteArray), xxhash64(col("url")))
+    val definitelyNew = candidates.filter(!maybe)
+    val survivors = candidates.filter(maybe)
+      .join(frontier.select("url"), Seq("url"), "left_anti")
     definitelyNew.unionByName(survivors)
   }
 
@@ -149,7 +183,9 @@ object Frontier {
    */
   def pop(frontier: DataFrame, sampler: String, seed: Long,
       perHostBudget: Int, perBucketBudget: Int, unique: Boolean = true,
-      boost: Double = 2000.0): DataFrame = {
+      boost: Double = 2000.0, sorted: Boolean = false): DataFrame = {
+    if (sorted && sampler == "fifo" && unique)
+      return popSortedFifo(frontier, perHostBudget, perBucketBudget)
     val pool = if (unique) frontier.filter(col("last_visit") === 0L) else frontier
     val visitedByHost =
       if (sampler == "pair")
@@ -175,39 +211,105 @@ object Frontier {
   }
 
   /**
+   * Scale-safe fifo pop over a CLUSTER-SORTED frontier: when the table's
+   * bucket files are stored sorted by (host, depth, discovered_at, url) —
+   * [[graft.sources.IcebergishTable]] writes them that way — popping is one
+   * streaming pass per partition: a per-host politeness counter (rows of a
+   * host arrive contiguous and in priority order) plus a bounded
+   * per-bucket top-K heap. NO Sort node, NO exchange, O(popped) memory —
+   * at 10^10 frontier rows a round reads the pool once and sorts nothing,
+   * where the window form paid an O(pool log pool) sort every round.
+   *
+   * Output set is provably identical to the window form (same per-host cap
+   * in the same priority order, same per-bucket top-K by the same total
+   * order). Sortedness is asserted per row — a violated invariant (e.g. a
+   * bucket file split across read partitions) fails loudly, never silently
+   * mis-pops.
+   */
+  def popSortedFifo(frontier: DataFrame, perHostBudget: Int,
+      perBucketBudget: Int): DataFrame = {
+    import graft.model.Model.FrontierEntry
+    implicit val enc = org.apache.spark.sql.Encoders.product[FrontierEntry]
+    // worst-first ordering so the heap root is the eviction candidate
+    val worstFirst: Ordering[FrontierEntry] =
+      Ordering.by((e: FrontierEntry) => (e.depth, e.discovered_at, e.url))
+    frontier
+      .select("url", "host", "host_bucket", "depth", "discovered_at", "last_visit")
+      .filter(col("last_visit") === 0L)
+      .as[FrontierEntry]
+      .mapPartitions { it =>
+        val heaps = scala.collection.mutable.Map
+          .empty[Int, scala.collection.mutable.PriorityQueue[FrontierEntry]]
+        var curBucket = Int.MinValue
+        var curHost: String = null
+        var curCount = 0
+        var prev: FrontierEntry = null
+        it.foreach { e =>
+          if (e.host_bucket != curBucket || e.host != curHost) {
+            if (e.host_bucket == curBucket && prev != null && e.host < curHost)
+              throw new IllegalStateException(
+                s"frontier bucket ${e.host_bucket} not host-sorted: ${e.host} after $curHost " +
+                  "(bucket file split or unsorted commit — see IcebergishTable sortCols)")
+            curBucket = e.host_bucket; curHost = e.host; curCount = 0
+          } else if (prev != null && worstFirst.lt(e, prev)) {
+            throw new IllegalStateException(
+              s"frontier host ${e.host} not priority-sorted (unsorted commit?)")
+          }
+          if (curCount < perHostBudget) {
+            curCount += 1
+            val h = heaps.getOrElseUpdate(e.host_bucket,
+              scala.collection.mutable.PriorityQueue.empty[FrontierEntry](worstFirst))
+            if (h.size < perBucketBudget) h.enqueue(e)
+            else if (worstFirst.lt(e, h.head)) { h.dequeue(); h.enqueue(e) }
+          }
+          prev = e
+        }
+        heaps.valuesIterator.flatMap(_.iterator)
+      }
+      .toDF()
+      .select("url", "host", "host_bucket", "depth", "discovered_at")
+  }
+
+  /**
    * One-pass round merge — the MERGE INTO formulation of
-   * (Add new candidates ⊕ Visit popped) that a real Iceberg table would
-   * run: frontier FULL OUTER JOIN delta on url, where delta = candidate
-   * rows (insert-if-absent; existing row wins = first-seen dedup,
-   * store/url.go:168-170) ∪ visit marks (update last_visit,
-   * store/url.go:222-249). Replaces the anti-join + mark-join + union
-   * chain with a single frontier exchange per round.
+   * (Add new candidates ⊕ Visit popped, store/url.go:155-249) as a SINGLE
+   * hash aggregation: union the frontier rows, the candidate rows, and the
+   * visit marks (popped rows re-tagged with `last_visit = round`), then
+   * one groupBy(url) resolving
+   *
+   *  - identity: `min(packPrio(src, depth, discovered_at))` with src=0 for
+   *    existing rows and src=1 for candidates — an existing row ALWAYS wins
+   *    (first-seen dedup, store/url.go:168-170), and among new candidates
+   *    the (min depth, min discovered_at) occurrence wins, exactly the
+   *    normalizeCandidates in-batch rule (so callers skip that groupBy);
+   *  - `last_visit = max(...)` — popped rows mark this round, others keep
+   *    their old mark.
+   *
+   * One exchange on url, pure HashAggregate (fixed-width LONG buffers — see
+   * [[packPrio]]; NO sort anywhere: the round-1 full outer join sorted BOTH
+   * sides). Pass only the DIRTY buckets' frontier rows — clean buckets
+   * never enter the shuffle, making per-round cost O(touched data), the
+   * real MERGE INTO shape.
    */
   def mergeRound(frontier: DataFrame, cands: DataFrame, popped: DataFrame,
       round: Long): DataFrame = {
-    val delta = cands
-      .withColumn("new_visit", lit(null).cast(LongType))
-      .unionByName(popped.select(col("url"), lit(null).cast(StringType).as("host"),
-        lit(null).cast(IntegerType).as("host_bucket"),
-        lit(null).cast(IntegerType).as("depth"),
-        lit(null).cast(LongType).as("discovered_at"),
-        lit(null).cast(LongType).as("last_visit"),
-        lit(round).as("new_visit")))
-      .groupBy("url")
-      .agg(first(col("host"), ignoreNulls = true).as("host"),
-        first(col("host_bucket"), ignoreNulls = true).as("host_bucket"),
-        first(col("depth"), ignoreNulls = true).as("depth"),
-        first(col("discovered_at"), ignoreNulls = true).as("discovered_at"),
-        max(col("new_visit")).as("new_visit"))
-    frontier.as("f")
-      .join(delta.as("d"), Seq("url"), "full_outer")
-      .select(col("url"),
-        coalesce(col("f.host"), col("d.host")).as("host"),
-        coalesce(col("f.host_bucket"), col("d.host_bucket")).as("host_bucket"),
-        coalesce(col("f.depth"), col("d.depth")).as("depth"),
-        coalesce(col("f.discovered_at"), col("d.discovered_at")).as("discovered_at"),
-        coalesce(col("d.new_visit"), col("f.last_visit"), lit(0L)).as("last_visit"))
-      .filter(col("host").isNotNull) // mark-only rows can't occur; belt+braces
+    def slim(df: DataFrame, src: Int, visit: Column): DataFrame =
+      df.select(col("url"), col("host"), col("host_bucket"),
+        packPrio(lit(src), col("depth"), col("discovered_at")).as("k"),
+        visit.as("last_visit"))
+    val f = slim(frontier, 0, col("last_visit"))
+    val c = slim(cands, 1, lit(0L))
+    // popped ⊆ frontier: full identity is already on the row
+    val m = slim(popped, 0, lit(round))
+    // host/host_bucket are functions of url → grouping keys (identical
+    // groups, var-width KEYS are fine for HashAggregate — only the two
+    // LONG buffers must be fixed-width). Also ~halves the shuffle row.
+    f.unionByName(c).unionByName(m)
+      .groupBy(col("url"), col("host"), col("host_bucket"))
+      .agg(min(col("k")).as("k"), max(col("last_visit")).as("last_visit"))
+      .select(col("url"), col("host"), col("host_bucket"),
+        unpackDepth(col("k")).as("depth"),
+        unpackDiscoveredAt(col("k")).as("discovered_at"), col("last_visit"))
   }
 
   /** Mark popped URLs visited at `round` (urlStore.Visit,

@@ -186,6 +186,14 @@ object GraftExpressions {
     reg.createOrReplaceTempFunction("gzip_size", es => GzipSize(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("jaccard_sorted",
       es => JaccardSorted(es(0), es(1)), "scala_udf")
+    // Spark's own codegen'd probe (BloomFilterMightContain — what a
+    // runtime-filter join injects): arg0 = serialized sketch BloomFilter
+    // literal, arg1 = xxhash64 of the probe value. Registered so the
+    // frontier's seen-set pre-filter stays inside WholeStageCodegen
+    // instead of a twice-evaluated Scala UDF (round-1 verdict #5).
+    reg.createOrReplaceTempFunction("bloom_might_contain",
+      es => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        es(0), es(1)), "scala_udf")
   }
 
   // Column-API wrappers (require register(spark) once per session)

@@ -205,15 +205,28 @@ object UrlFns {
 
   /** gzip(best-compression) byte size — the body store's stored-size
     * accounting (store/file.go:39-44, 130, 174). */
-  def gzipSize(bytes: Array[Byte]): Long = {
-    if (bytes == null) return 0L
+  /** gzip at BEST_COMPRESSION — the reference's body-store codec
+    * (store/file.go:39-44). The stored bytes and the `gzip_size` column
+    * expression come from THIS one function, so fact_bodies.comp_size
+    * always equals the on-disk file size. */
+  def gzipBytes(bytes: Array[Byte]): Array[Byte] = {
+    if (bytes == null) return null
     val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 32)
     val gz = new java.util.zip.GZIPOutputStream(bos) {
       `def`.setLevel(java.util.zip.Deflater.BEST_COMPRESSION)
     }
     gz.write(bytes); gz.close()
-    bos.size().toLong
+    bos.toByteArray
   }
+
+  def gunzipBytes(bytes: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try in.readAllBytes() finally in.close()
+  }
+
+  def gzipSize(bytes: Array[Byte]): Long =
+    if (bytes == null) 0L else gzipBytes(bytes).length.toLong
 
   private val hexChars = "0123456789abcdef".toCharArray
   private val mdLocal = new ThreadLocal[java.security.MessageDigest] {

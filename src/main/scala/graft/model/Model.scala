@@ -39,7 +39,11 @@ object Model {
   // ---- In-flight fetch event types (CDP analogues, worker.go:658-868) ----
 
   /** network.requestWillBeSent analogue. `initiator_kind` ∈
-    * user|parser|script|redirect|other (kraaler.go:145-155). */
+    * user|parser|script|redirect|other (kraaler.go:145-155).
+    * `redirect_resp` is CDP's redirectResponse: when this request is a
+    * redirect hop, it carries the PARENT's response (real CDP often emits
+    * no standalone responseReceived for the hop — the reference backfills
+    * `parent.Response = sent.RedirectResponse`, worker.go:1043-1046). */
   case class ReqEvent(
       request_id: String,
       loader_id: String,
@@ -51,7 +55,8 @@ object Model {
       stack_func: String,
       stack_line: Int,
       stack_col: Int,
-      ts: Double)
+      ts: Double,
+      redirect_resp: Option[RespEvent] = None)
 
   /** network.responseReceived analogue (kraaler.go:343-349). */
   case class RespEvent(
@@ -87,7 +92,10 @@ object Model {
       url: String)
 
   /** Raw per-URL fetch outcome before correlation (a `Page` pre-assembly,
-    * worker.go:604-653). Timestamps are deterministic virtual-clock seconds. */
+    * worker.go:604-653). Timestamps are deterministic virtual-clock seconds.
+    * `screenshot_bytes` aligns 1:1 with `screenshots` — the PNG payloads a
+    * real CDP fetcher captures (worker.go:945-995); the pipeline persists
+    * them via [[graft.sources.FileStore]] and only the ref reaches spans. */
   case class FetchResult(
       url: String,
       requests: Seq[ReqEvent],
@@ -98,7 +106,8 @@ object Model {
       screenshots: Seq[String], // media refs
       navigate_ts: Double,
       loaded_ts: Double,
-      terminated_ts: Double)
+      terminated_ts: Double,
+      screenshot_bytes: Seq[Array[Byte]] = Seq.empty)
 
   /** One correlated action (CrawlAction, kraaler.go:178-189).
     * `parent_idx` = index of parent action within the page (-1 = none). */

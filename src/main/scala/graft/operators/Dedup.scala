@@ -9,11 +9,13 @@ import org.apache.spark.sql.functions._
  * `(doc_id, text)`:
  *
  *  - exact dedup (hash-groupBy on a normalized fingerprint);
- *  - n-gram Jaccard near-dup pairs (length-band blocked exact join);
+ *  - n-gram Jaccard near-dup pairs (prefix-filtered exact set-similarity
+ *    join, complete recall — AllPairs/PPJoin family);
  *  - MinHash + LSH near-dup pairs (shingle → minhash → band → bucket-join
  *    → exact-Jaccard verify — candidates only, never trusts the sketch);
- *  - SimHash near-dup pairs (64-bit sign-sketch, pigeonhole block join →
- *    exact Hamming verify).
+ *  - SimHash near-dup pairs (sign-sketch, pigeonhole block join →
+ *    exact Hamming verify; token hash is md5-derived so the sketch is
+ *    engine-portable and DuckDB-verifiable).
  *
  * Scale design: every near-dup variant is candidate-generation-by-equi-join
  * (shuffle on a small blocking key) + per-pair verification — never a cross
@@ -41,32 +43,47 @@ object Dedup {
     graft.functions.GraftExpressions.jaccard_sorted(a, b)
 
   /**
-   * Exact n-gram Jaccard near-dup pairs, blocked by token-count band
-   * (near-dups at threshold t have token counts within factor ~1/t, so a
-   * coarse length band plus its neighbor covers them; band join keeps the
-   * self-join linear-ish instead of quadratic).
+   * Exact n-gram Jaccard near-dup pairs with COMPLETE recall at the
+   * threshold, via prefix filtering (the AllPairs/PPJoin family — Bayardo
+   * et al., WWW'07; Vernica et al., SIGMOD'10 give the shuffle form): under
+   * any global total order on shingles, two docs with J ≥ t MUST share at
+   * least one shingle among each doc's first `(s - ⌈t·s⌉ + 1)` shingles
+   * (pigeonhole: J ≥ t ⇒ overlap ≥ ⌈t·s⌉ ⇒ the overlap cannot hide entirely
+   * in the suffix). Candidates therefore come from an equi-join on prefix
+   * shingles — never a cross join — and unlike the round-1 fixed-width
+   * length bands the filter provably loses NO pair (band±1 silently missed
+   * ratio-distant pairs; ADVICE round 1).
+   *
+   * The global order is rarest-first (frequency, then shingle): boilerplate
+   * shingles land at the END of every doc and out of every prefix — that is
+   * the skew control that keeps candidate buckets small on real corpora. A
+   * size-ratio filter (J ≥ t ⇒ min-size ≥ t·max-size) prunes the rest.
    */
-  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
-      bandWidth: Int = 16): DataFrame = {
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
     graft.functions.GraftExpressions.register(docs.sparkSession)
-    val prep = docs.select(col("doc_id"), shingleArr(col("text"), n).as("sh"),
-      (TextOps.tokenCount(col("text")) / bandWidth).cast("int").as("band"))
+    val prep = docs.select(col("doc_id"), shingleArr(col("text"), n).as("sh"))
       .persist()
-    // candidate generation ships IDs ONLY — the ~KB shingle arrays never
-    // enter the band shuffle (they'd multiply the exchange by pair fan-out);
-    // arrays re-attach afterwards via two joins against the slim prep table.
-    // The a-side probes all adjacent bands, so matched pairs are exactly
-    // those with |band(a)-band(b)| <= 1 regardless of id order.
-    val left = prep.select(col("doc_id").as("a_id"),
-      explode(array(col("band") - 1, col("band"), col("band") + 1)).as("band"))
-    val right = prep.select(col("doc_id").as("b_id"), col("band"))
-    // No dedup needed: for any pair with |Δband| ≤ 1, exactly one of the
-    // two orientations matches exactly one probe band AND passes a<b —
-    // the 3-band probe plus the inequality is already duplicate-free
-    // (dropDuplicates here cost a 17M-row exchange at sf0.1).
-    val candIds = left.join(right, Seq("band"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id")
+    // global shingle frequencies: one map-side-combinable groupBy, O(corpus)
+    val freq = prep.select(explode(col("sh")).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("f"))
+    // per-doc prefix under the (f, s) total order
+    val prefixToks = prep
+      .select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
+      .join(freq, Seq("s"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("f"), col("s"))))
+      .filter(col("r") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select("doc_id", "sz", "s")
+    // candidates: share ≥1 prefix shingle, sizes within ratio t (ids only —
+    // the ~KB shingle arrays re-attach AFTER pair dedup, in attachAndVerify)
+    val l = prefixToks.select(col("s"), col("doc_id").as("a_id"), col("sz").as("a_sz"))
+    val r = prefixToks.select(col("s"), col("doc_id").as("b_id"), col("sz").as("b_sz"))
+    val candIds = l.join(r, Seq("s"))
+      .filter(col("a_id") < col("b_id") &&
+        col("b_sz") >= lit(threshold) * col("a_sz") &&
+        col("a_sz") >= lit(threshold) * col("b_sz"))
+      .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
     attachAndVerify(candIds, prep.select(col("doc_id"), col("sh")), threshold)
   }
 
@@ -86,32 +103,27 @@ object Dedup {
   }
 
   /**
-   * Verify id-only candidate pairs against exact Jaccard ≥ threshold.
-   * The shingle dictionary is broadcast and each pair computes ONE
-   * zero-alloc merge in mapPartitions — joining the ~KB arrays onto
-   * millions of candidate rows would materialize pairs×arrays (measured
-   * ~50 GB at 5.7M candidates) and dominate wall time. Requires the
-   * dictionary to fit an executor (fine to ~10^6 docs per verify shard;
-   * beyond that, shard candIds by a_id range and verify per shard).
+   * Verify id-only candidate pairs against exact Jaccard ≥ threshold —
+   * fully shuffle-based, nothing ever reaches the driver: the deduplicated
+   * candidate ids re-attach their two shingle arrays via two equi-joins
+   * against the slim `(doc_id, sh)` table, then one codegen'd
+   * `jaccard_sorted` merge per pair. Because candidate generation dedups
+   * first and the upstream blocking (prefix filter / LSH bands) bounds the
+   * pair count, the joined pairs×arrays volume stays O(true-pairs·doc-size)
+   * — at 100 TB this shards like any other join, with NO per-executor
+   * dictionary to fit (the round-1 broadcast-collect capped at ~10^6 docs
+   * and was a driver OOM beyond that).
    */
   private def attachAndVerify(candIds: DataFrame, sh: DataFrame,
       threshold: Double): DataFrame = {
-    val spark = candIds.sparkSession
-    import spark.implicits._
-    val dict = sh.select(col("doc_id").cast("long"), col("sh"))
-      .as[(Long, Seq[String])].collect()
-      .map { case (id, s) => id -> s.toIndexedSeq }.toMap
-    val bDict = spark.sparkContext.broadcast(dict)
-    candIds.select(col("a_id").cast("long"), col("b_id").cast("long"))
-      .as[(Long, Long)]
-      .mapPartitions { it =>
-        val m = bDict.value
-        it.flatMap { case (a, b) =>
-          val j = jaccardSortedArrays(m(a), m(b))
-          if (j >= threshold) Some((a, b, j)) else None
-        }
-      }
-      .toDF("a_id", "b_id", "jaccard")
+    val a = sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b"))
+    candIds
+      .join(a, Seq("a_id"))
+      .join(b, Seq("b_id"))
+      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
   }
 
   /** MinHash signature. Each shingle string is hashed ONCE to a long;
@@ -153,28 +165,36 @@ object Dedup {
     attachAndVerify(candIds, prep.select(col("doc_id"), col("sh")), threshold)
   }
 
-  /** 64-bit SimHash of the token multiset: bit j = sign of the sum over
-    * tokens of (bit j of xxhash64(token) ? +1 : -1). Pure column algebra —
-    * aggregate + zip_with, no UDF. */
+  /** md5-derived 60-bit token hash (first 15 hex chars as an integer).
+    * Chosen over xxhash64 so BOTH engines of the correctness gate can
+    * compute it — DuckDB has md5 but not xxhash64 — making the SimHash
+    * sketch oracle-verifiable end to end. */
+  def md5Hash60(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
+  /** 60-bit SimHash of the token multiset: bit j = sign of the sum over
+    * tokens of (bit j of md5Hash60(token) ? +1 : -1). Pure column algebra —
+    * aggregate + zip_with, no UDF; each token is md5-hashed exactly ONCE
+    * (the per-bit lambda reads a bound variable, not the hash expr). */
   def simhash(textCol: Column): Column = {
-    val toks = TextOps.tokens(textCol)
+    val hs = transform(TextOps.tokens(textCol), t => md5Hash60(t))
     val signs = aggregate(
-      toks,
-      transform(sequence(lit(0), lit(63)), _ => lit(0L)),
-      (acc, t) => zip_with(acc,
-        transform(sequence(lit(0), lit(63)),
-          j => call_function("shiftright", xxhash64(t), j).bitwiseAND(lit(1L)) * 2 - 1),
+      hs,
+      transform(sequence(lit(0), lit(59)), _ => lit(0L)),
+      (acc, h) => zip_with(acc,
+        transform(sequence(lit(0), lit(59)),
+          j => call_function("shiftright", h, j).bitwiseAND(lit(1L)) * 2 - 1),
         (a, b) => a + b))
     aggregate(
-      zip_with(signs, sequence(lit(0), lit(63)),
+      zip_with(signs, sequence(lit(0), lit(59)),
         (s, j) => when(s > 0, call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(lit(0L))),
       lit(0L), (a, x) => a.bitwiseOR(x))
   }
 
   /**
    * SimHash near-dup pairs with Hamming distance ≤ maxHamming. Candidates
-   * by pigeonhole blocking: split the 64-bit sketch into `maxHamming+1`
-   * 16-bit-ish blocks — any pair within distance k agrees on ≥1 of k+1
+   * by pigeonhole blocking: split the 60-bit sketch into `maxHamming+1`
+   * 15-bit blocks — any pair within distance k agrees on ≥1 of k+1
    * blocks → recall 1.0 (requires maxHamming ≤ 3 with 4 blocks). Verify =
    * exact bit_count(xor).
    */
@@ -183,7 +203,7 @@ object Dedup {
     val prep = docs.select(col("doc_id"), simhash(col("text")).as("sh64"))
     val blocked = prep.select(col("doc_id"), col("sh64"),
       posexplode(transform(sequence(lit(0), lit(3)),
-        b => call_function("shiftright", col("sh64"), (b * 16).cast("int")).bitwiseAND(lit(0xffffL))))
+        b => call_function("shiftright", col("sh64"), (b * 15).cast("int")).bitwiseAND(lit(0x7fffL))))
         .as(Seq("block_idx", "block_val")))
     val l = blocked.select(col("block_idx"), col("block_val"),
       col("doc_id").as("a_id"), col("sh64").as("a_sh"))

@@ -110,27 +110,62 @@ object Similarity {
   }
 
   /**
-   * IVF-style coarse index: `cells` centroid rows are taken as the lowest
-   * vec_ids (a deterministic stand-in for k-means — the partitioning
-   * mechanics, assignment join, and nprobe probing are the real thing).
-   * Build: assign every vector to its nearest centroid (broadcast join).
+   * Seeded Lloyd's k-means over the embedding column — REAL centroids for
+   * the IVF index (round 1 shipped a lowest-id stand-in). Everything stays
+   * distributed DataFrame algebra: init = deterministic hash-order sample;
+   * each iteration is one broadcast-assignment join + one element-wise
+   * mean (posexplode → per-(cell, dim) avg → re-assembled array). No
+   * driver-side vectors: centroids live in a k-row DataFrame, broadcast by
+   * Catalyst at the join. Emptied cells keep their previous centroid.
+   * `localCheckpoint` truncates the iteration lineage (standard iterative-
+   * algorithm hygiene at scale).
+   */
+  def kmeansCentroids(corpus: DataFrame, cells: Int, iters: Int = 5,
+      seed: Long = 42L): DataFrame = {
+    var centroids = corpus
+      .withColumn("rk", row_number().over(
+        Window.orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))))
+      .filter(col("rk") <= cells)
+      .select((col("rk") - 1).cast("int").as("cell_id"),
+        col("embedding").as("cell_emb"))
+      .localCheckpoint(true)
+    var i = 0
+    while (i < iters) {
+      val assigned = corpus.crossJoin(broadcast(centroids))
+        .withColumn("d", cosine(col("embedding"), col("cell_emb")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("d").desc, col("cell_id"))))
+        .filter(col("rk") === 1)
+        .select(col("cell_id"), col("embedding"))
+      val updated = assigned
+        .select(col("cell_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cell_id"), col("pos")).agg(avg(col("v").cast("double")).as("m"))
+        .groupBy(col("cell_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("sm"))
+        .select(col("cell_id"),
+          transform(col("sm"), x => x.getField("m").cast("float")).as("cell_emb"))
+      val kept = centroids.join(updated.select("cell_id"), Seq("cell_id"), "left_anti")
+      centroids = updated.unionByName(kept).localCheckpoint(true)
+      i += 1
+    }
+    centroids
+  }
+
+  /**
+   * IVF coarse index: assign every vector to its nearest k-means centroid
+   * (broadcast join — the corpus streams, nothing wide shuffles).
    * Query: probe the `nprobe` nearest cells only, exact re-rank inside.
    */
-  def ivfAssign(corpus: DataFrame, cells: Int): DataFrame = {
-    val centroids = corpus.orderBy("vec_id").limit(cells)
-      .select(col("vec_id").as("cell_id"), col("embedding").as("cell_emb"))
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame =
     corpus.crossJoin(broadcast(centroids))
       .withColumn("d", cosine(col("embedding"), col("cell_emb")))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("d").desc, col("cell_id"))))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("embedding"), col("cell_id"))
-  }
 
-  def ivfTopK(assigned: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
-      cells: Int): DataFrame = {
-    val centroids = assigned.filter(col("vec_id") === col("cell_id"))
-      .select(col("cell_id"), col("embedding").as("cell_emb"))
+  def ivfTopK(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
     val probes = queries.crossJoin(broadcast(centroids))
       .withColumn("d", cosine(col("embedding"), col("cell_emb")))
       .withColumn("rk", row_number().over(

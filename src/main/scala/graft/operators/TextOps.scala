@@ -94,22 +94,35 @@ object TextOps {
   /**
    * Winnowing rolling-hash fingerprint (Schleimer et al., SIGMOD'03):
    * k-gram Karp-Rabin hashes, window-min selection → the doc's sketch.
-   * Deterministic pure Scala for mapPartitions / typed use; verified by
-   * unit test (not SQL-expressible → rows-only oracle).
+   * Deterministic pure Scala for mapPartitions / typed use.
+   *
+   * All hash arithmetic is mod 2^61 (a single mask per step — 2^61 divides
+   * 2^64, so Java's wrap-around long arithmetic projects exactly onto it).
+   * Chosen over raw 64-bit wrap so the SAME polynomial is computable in
+   * 128-bit integer SQL: the DuckDB oracle recomputes every k-gram hash,
+   * window min, and the distinct sketch set (q31 is hash-verified, not
+   * rows-only).
    */
+  val winnowMask: Long = (1L << 61) - 1
+  val winnowBase: Long = 1000000007L
+
   def winnow(text: String, k: Int = 5, window: Int = 4): Seq[Long] = {
     val s = text.toLowerCase.replaceAll("\\s+", " ").trim
+    val B = winnowBase
     if (s.length < k) return if (s.isEmpty) Seq.empty else Seq(karpRabin(s))
     val hashes = new Array[Long](s.length - k + 1)
-    val B = 1000000007L
     var h = 0L
     var pow = 1L
     var i = 0
-    while (i < k) { h = h * B + s.charAt(i); if (i < k - 1) pow *= B; i += 1 }
+    while (i < k) {
+      h = (h * B + s.charAt(i)) & winnowMask
+      if (i < k - 1) pow = (pow * B) & winnowMask
+      i += 1
+    }
     hashes(0) = h
     i = k
     while (i < s.length) {
-      h = (h - s.charAt(i - k) * pow) * B + s.charAt(i)
+      h = ((h - s.charAt(i - k) * pow) * B + s.charAt(i)) & winnowMask
       hashes(i - k + 1) = h
       i += 1
     }
@@ -129,7 +142,7 @@ object TextOps {
   private def karpRabin(s: String): Long = {
     var h = 0L
     var i = 0
-    while (i < s.length) { h = h * 1000000007L + s.charAt(i); i += 1 }
+    while (i < s.length) { h = (h * winnowBase + s.charAt(i)) & winnowMask; i += 1 }
     h
   }
 }

@@ -42,7 +42,10 @@ class Crawler(
 
   import spark.implicits._
 
-  val frontierTable = new IcebergishTable(s"$workDir/frontier", Frontier.schema)
+  /** Frontier table: bucket-granular snapshots, files stored sorted by
+    * (host, fifo-priority) so pop streams without sorting. */
+  val frontierTable = new IcebergishTable(s"$workDir/frontier", Frontier.schema,
+    sortCols = Seq("host", "depth", "discovered_at", "url"))
   val seenFilters = new graft.frontier.SeenFilterStore(workDir)
   private def docsDir = s"$workDir/docs"
 
@@ -64,7 +67,7 @@ class Crawler(
     val fresh = Frontier.newOnly(existing, cands)
     val merged = existing.unionByName(fresh)
     val seedRound = math.max(lastRound, 0)
-    val rows = frontierTable.commit(merged, seedRound, Seq("host_bucket"))
+    val rows = frontierTable.commit(merged, seedRound)
     if (cfg.useSeenFilter)
       seenFilters.updateAndSave(spark, seedRound, seedRound, cands, frontierTable.read(spark))
     rows
@@ -86,29 +89,81 @@ class Crawler(
     val r = lastRound + 1
     val frontierRowsHint = frontierTable.currentSnapshot().map(_.rows).getOrElse(-1L)
     val frontier = frontierTable.read(spark)
-    val popped = Frontier.pop(frontier, cfg.sampler, cfg.seed,
-      cfg.perHostBudget, cfg.perBucketBudget, cfg.unique, cfg.boost)
+    // sorted=true: the committed bucket files are (host, prio)-sorted, so
+    // the fifo pop is a streaming take — no Sort node, no exchange
+    val popped0 = Frontier.pop(frontier, cfg.sampler, cfg.seed,
+      cfg.perHostBudget, cfg.perBucketBudget, cfg.unique, cfg.boost,
+      sorted = true)
       .persist()
+    // optional per-host token-bucket throttle (worker.go:1238-1253 ready
+    // token generalized; north rule): rejected rows stay unvisited in the
+    // frontier and are re-offered next round. State is a tiny per-round
+    // parquet table — replaying a torn round rereads round r-1's state.
+    val popped =
+      if (cfg.politenessRate > 0) {
+        val prevState = {
+          val p = Paths.get(s"$workDir/politeness/round-${r - 1}")
+          if (Files.exists(p)) spark.read.parquet(p.toString)
+          else graft.streaming.Politeness.emptyState(spark)
+        }
+        val (admitted, newState) = graft.streaming.Politeness.throttleRound(
+          popped0, prevState, r.toLong, cfg.politenessRate, cfg.politenessBurst)
+        newState.write.mode(SaveMode.Overwrite)
+          .parquet(s"$workDir/politeness/round-$r")
+        admitted.persist()
+      } else popped0
     // one job: per-bucket lineage counts AND the popped total
     val perBucketCounts = timed("pop")(popped.groupBy("host_bucket").count()
       .collect().map(row => row.getInt(0) -> row.getLong(1)).sortBy(_._1))
     val poppedN = perBucketCounts.map(_._2).sum
-    if (poppedN == 0) { popped.unpersist(); return RoundStats(r, 0, 0, 0, 0, frontier.count()) }
+    // offered = pool rows the pop stage produced BEFORE the politeness
+    // throttle — it distinguishes "frontier exhausted" (stop) from
+    // "everything throttled this round" (advance and let tokens refill)
+    val offeredN = if (popped ne popped0) popped0.count() else poppedN
+    if (offeredN == 0) {
+      popped.unpersist()
+      if (popped ne popped0) popped0.unpersist()
+      return RoundStats(r, 0, 0, 0, 0, math.max(frontierRowsHint, 0L), 0)
+    }
+    if (poppedN == 0) {
+      // throttled to zero: commit an empty delta (every bucket clean) so
+      // the snapshot round advances and per-host tokens accrue
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Frontier.schema)
+      val rows = frontierTable.commit(empty, r, Some(Set.empty))
+      writeLineage(r, Seq.empty, 0, 0, 0, 0, rows)
+      popped.unpersist()
+      if (popped ne popped0) popped0.unpersist()
+      return RoundStats(r, 0, 0, 0, 0, rows, offeredN)
+    }
 
     // --- fetch stage: salted-key shuffle, then per-partition pure fetch ---
     val simB = sim
     val roundB = r
+    val storeRoot = if (cfg.storeFiles) s"$workDir/store" else null
     val out = popped
       .withColumn("salt_key",
         concat(col("host"), lit("#"), pmod(xxhash64(col("url")), lit(cfg.saltFactor))))
-      .repartition(spark.sparkContext.defaultParallelism * 4, col("salt_key"))
+      .repartition(spark.sparkContext.defaultParallelism * 2, col("salt_key"))
       .select(col("url"), col("depth"))
       .as[(String, Int)]
       .mapPartitions { it =>
+        // content-addressed side store (O9/O10): allowlisted bodies gzip'd
+        // under bodies/<2ch>/<sha>, screenshot bytes under their media_ref —
+        // written DURING the fetch pass like the reference's SaveSession
+        // (store/store.go:92-101); writes are idempotent so round replay
+        // after a torn commit just re-stores the same keys
+        val store = if (storeRoot != null) new graft.sources.FileStore(storeRoot) else null
         it.map { case (url, depth) =>
           val fr = simB.fetch(url)
           val s = Correlate.sessionFromFetch(
             "d" + UrlFns.sha256Hex(url).substring(0, 16), fr)
+          if (store != null) {
+            fr.bodies.foreach(b => store.storeBody(b.body))
+            fr.screenshots.zip(fr.screenshot_bytes).foreach {
+              case (ref, bytes) => store.storeScreenshot(ref, bytes)
+            }
+          }
           val doc = Correlate.docFromSession(s)
           CrawlOut(doc.doc_id, url, s.host, depth, roundB,
             doc.spans, s.links, s.error,
@@ -122,40 +177,72 @@ class Crawler(
     //     (session stats, frontier expansion) read back with column
     //     pruning and never touch `spans`. `round` lives only in the
     //     partition dir (dropped from data to avoid the dup-column clash).
+    //     ok/err outcome counters ride the SAME job as Observation metrics
+    //     (round 1 paid a separate re-scan job for them).
+    val obs = org.apache.spark.sql.Observation(s"round-$r-outcomes")
     timed("fetch+docs")(out.drop("round")
+      .observe(obs,
+        sum(when(col("error") === "", 1L).otherwise(0L)).as("ok"),
+        sum(when(col("error") =!= "", 1L).otherwise(0L)).as("err"))
       .write.mode(SaveMode.Overwrite).parquet(s"$docsDir/round=$r"))
+    val obsRow = obs.get
+    def obsLong(k: String): Long =
+      Option(obsRow.getOrElse(k, null)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val fetchedOk = obsLong("ok")
+    val errs = obsLong("err")
     val written = spark.read.parquet(s"$docsDir/round=$r")
 
-    // one job for both outcome counters (reads only the `error` column)
-    val okErr = timed("ok-err")(written.agg(
-      sum(when(col("error") === "", 1L).otherwise(0L)),
-      sum(when(col("error") =!= "", 1L).otherwise(0L))).collect()(0))
-    val fetchedOk = if (okErr.isNullAt(0)) 0L else okErr.getLong(0)
-    val errs = if (okErr.isNullAt(1)) 0L else okErr.getLong(1)
-
     // --- frontier expansion (urlStore.Add of Page.DocumentURLs,
-    //     worker.go:1247) + visit marks, one atomic commit ---
+    //     worker.go:1247) + visit marks, one atomic bucket-selective
+    //     commit. Candidates stay RAW (dedup=false): mergeRound's single
+    //     aggregation dedups them with identical min-struct semantics,
+    //     saving one full candidate exchange per round.
     val rawNew = written
       .select(col("depth"), posexplode(col("links")).as(Seq("pos", "url")))
       .select(col("url"), (col("depth") + 1).as("depth"),
         (lit(r.toLong * 1000000L) + col("pos")).as("discovered_at"))
-    val cands = Frontier.normalizeCandidates(rawNew, cfg.numBuckets, cfg.respectRobots)
+    val cands0 = Frontier.normalizeCandidates(rawNew, cfg.numBuckets,
+      cfg.respectRobots, dedup = cfg.useSeenFilter)
+    // dirty buckets = buckets with pops or new candidates; ONLY their
+    // frontier rows enter the merge shuffle and ONLY their files are
+    // rewritten — per-round frontier I/O is O(touched), not O(pool).
+    // DENSE shortcut: when the popped buckets already cover every manifest
+    // bucket, everything is dirty — skip the candidate-bucket scan (it was
+    // a near-serial extra pass; new buckets a candidate opens are adopted
+    // by the commit regardless, they have no old rows to lose).
+    val allBuckets = frontierTable.currentSnapshot().map(_.buckets.keySet).getOrElse(Set.empty)
+    val poppedBuckets = perBucketCounts.map(_._1).toSet
+    val dense = allBuckets.nonEmpty && allBuckets.subsetOf(poppedBuckets)
+    // persist only when consumed more than once (sparse path's distinct
+    // job, or the seen-filter's split + update passes)
+    val multiPass = !dense || cfg.useSeenFilter
+    val cands = if (multiPass) cands0.persist() else cands0
+    val dirty =
+      if (dense) poppedBuckets
+      else timed("cand-buckets")(
+        cands.select("host_bucket").distinct().collect().map(_.getInt(0)).toSet) ++
+        poppedBuckets
+    val frontierDirty =
+      if (dense) frontier
+      else frontier.filter(col("host_bucket").isin(dirty.toSeq.map(Int.box): _*))
     // optional per-partition cuckoo refinement (north rule): provably-new
-    // candidates bypass the exact merge join; correctness never depends on
-    // it (advisory only — see SeenFilterStore)
+    // candidates bypass the exact merge aggregation; correctness never
+    // depends on it (advisory only — see SeenFilterStore)
     val merged =
       if (cfg.useSeenFilter) {
         val (provablyNew, maybeSeen) = seenFilters.split(spark, r - 1, cands)
-        Frontier.mergeRound(frontier, maybeSeen, popped, r).unionByName(provablyNew)
-      } else Frontier.mergeRound(frontier, cands, popped, r)
-    val frontierRows = timed("commit")(frontierTable.commit(merged, r, Seq("host_bucket")))
+        Frontier.mergeRound(frontierDirty, maybeSeen, popped, r).unionByName(provablyNew)
+      } else Frontier.mergeRound(frontierDirty, cands, popped, r)
+    val frontierRows = timed("commit")(frontierTable.commit(merged, r, Some(dirty)))
     if (cfg.useSeenFilter)
       seenFilters.updateAndSave(spark, r, r - 1, cands, frontierTable.read(spark))
+    if (multiPass) cands.unpersist()
     val newN = math.max(0L, frontierRows - math.max(frontierRowsHint, 0L))
 
     writeLineage(r, perBucketCounts, poppedN, fetchedOk, errs, newN, frontierRows)
     popped.unpersist()
-    RoundStats(r, poppedN, fetchedOk, errs, newN, frontierRows)
+    if (popped ne popped0) popped0.unpersist()
+    RoundStats(r, poppedN, fetchedOk, errs, newN, frontierRows, offeredN)
   }
 
   /** Per-round, per-partition lineage metrics (north rule: "checkpoints
@@ -172,14 +259,16 @@ class Crawler(
   }
 
   /** Crawl to closure (TestWorkerController semantics,
-    * worker_test.go:493-583): rounds until the pool is empty. */
+    * worker_test.go:493-583): rounds until the POOL is empty — a round
+    * where politeness throttled every offer still advances (tokens
+    * refill); only an empty offer set terminates. */
   def crawlUntilEmpty(maxRounds: Int = 1000): Seq[RoundStats] = {
     val stats = scala.collection.mutable.ArrayBuffer.empty[RoundStats]
     var i = 0
     var done = false
     while (i < maxRounds && !done) {
       val s = round()
-      if (s.popped == 0) done = true else stats += s
+      if (s.offered == 0) done = true else stats += s
       i += 1
     }
     stats.toSeq
@@ -219,7 +308,15 @@ case class CrawlConfig(
     saltFactor: Int = 8,
     boost: Double = 2000.0,
     respectRobots: Boolean = false,
-    useSeenFilter: Boolean = false)
+    useSeenFilter: Boolean = false,
+    /** Per-host token-bucket throttle (fetch slots earned per round /
+      * bucket cap); 0 disables. Rejected pops stay queued. */
+    politenessRate: Double = 0.0,
+    politenessBurst: Double = 1.0,
+    /** Physical content-addressed body/screenshot store (O9/O10) — on by
+      * default like the reference; benches that isolate the frontier
+      * metric turn it off explicitly. */
+    storeFiles: Boolean = true)
 
 case class RoundStats(
     round: Int,
@@ -227,4 +324,7 @@ case class RoundStats(
     fetchedOk: Long,
     errors: Long,
     newUrls: Long,
-    frontierRows: Long)
+    frontierRows: Long,
+    /** pool rows offered by pop BEFORE the politeness throttle; 0 ⇔ the
+      * frontier is exhausted (the crawl-closure condition). */
+    offered: Long = -1)

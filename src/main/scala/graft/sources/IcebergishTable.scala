@@ -1,80 +1,217 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
 
 /**
  * Minimal Iceberg-style table facade: snapshot isolation + atomic commit
- * over plain partitioned Parquet.
+ * over plain partitioned Parquet, with BUCKET-granular data-file tracking.
  *
  * No Iceberg runtime jar exists in this container (SURVEY.md §7.0), so the
  * north rule's "Iceberg tables" are emulated with the same *semantics* the
- * pipeline needs — atomic snapshot swap, round-id lineage, torn-round
- * replay — behind a one-file facade so a real Iceberg catalog is a drop-in
- * swap later:
+ * pipeline needs, behind a one-file facade so a real Iceberg catalog is a
+ * drop-in swap later:
  *
- *  - every commit writes a fresh `data-r<round>-<nonce>` directory, then
- *    atomically renames `manifest.json.tmp` → `manifest.json` (POSIX rename
- *    atomicity = the commit point, like an Iceberg metadata pointer swap;
- *    the reference's analogue is the single SQLite transaction,
- *    store/store.go:69-105);
- *  - readers only ever see the directory named by the manifest, so a crash
- *    mid-write leaves a stale-but-consistent snapshot (torn rounds are
- *    replayed idempotently by the crawler);
- *  - old snapshot dirs are pruned on commit (keep latest 2 for debugging).
+ *  - the manifest maps every `host_bucket` to the data directory holding
+ *    its current file (an Iceberg manifest's data-file list, keyed by
+ *    partition). A commit may be **partial**: only dirty buckets are
+ *    rewritten; clean buckets keep pointing at their old files — the
+ *    emulation of `MERGE INTO` + partition-level file replacement, so
+ *    per-round I/O is O(touched buckets), never O(table);
+ *  - each bucket's file is written SORTED by `sortCols` (for the frontier:
+ *    host, then priority) — the clustered layout that lets the fifo pop be
+ *    a streaming per-partition take with no Sort in its plan;
+ *  - per-bucket row counts come from the parquet FOOTERS of the
+ *    just-written files (driver-side metadata reads, like Iceberg's
+ *    manifest stats) — NOT from a count() re-scan of the data (a
+ *    round-1 serial-floor cost);
+ *  - `manifest.json.tmp` → `manifest.json` POSIX rename is the atomic
+ *    commit point (the reference's analogue is the single SQLite
+ *    transaction, store/store.go:69-105); a crash mid-write leaves a
+ *    stale-but-consistent snapshot and the torn round replays
+ *    idempotently;
+ *  - data dirs no longer referenced by the NEW manifest are pruned (real
+ *    Iceberg keeps history by retention policy; single-writer here).
  *
- * Scale note (100 TB design point): full-snapshot rewrite is only used for
- * the FRONTIER table, whose working set is ~1% of crawled bytes; the DOCS
- * table is append-only (one new partition dir per round, never rewritten).
- * With real Iceberg the frontier rewrite becomes MERGE INTO + positional
- * deletes; the facade isolates exactly that call site.
+ * Scale note (100 TB design point): the DOCS table is append-only (one new
+ * partition dir per round, never rewritten; handled directly by the
+ * crawler). This facade serves the FRONTIER, whose per-round delta is
+ * bucket-selective. Bucket files must stay under
+ * `spark.sql.files.maxPartitionBytes` so a bucket is never split across
+ * read partitions (the streaming-pop invariant): numBuckets scales with
+ * the frontier (10^10 URLs → 10^4-10^5 buckets), checked at commit time.
  */
-class IcebergishTable(val root: String, schema: StructType) extends Serializable {
+class IcebergishTable(val root: String, schema: StructType,
+    bucketCol: String = "host_bucket",
+    sortCols: Seq[String] = Nil) extends Serializable {
 
   private def manifestPath = Paths.get(root, "manifest.json")
 
-  case class Snapshot(round: Int, dataDir: String, rows: Long)
+  /** One bucket's current data file: the snapshot dir holding it + rows. */
+  case class BucketEntry(dir: String, rows: Long)
+
+  case class Snapshot(round: Int, rows: Long, buckets: Map[Int, BucketEntry]) {
+    def bucketPaths(rootDir: String): Seq[String] =
+      buckets.toSeq.sortBy(_._1).map { case (b, e) => s"$rootDir/${e.dir}/hb=$b" }
+  }
 
   def currentSnapshot(): Option[Snapshot] = {
     if (!Files.exists(manifestPath)) return None
-    val txt = Files.readString(manifestPath)
-    def field(k: String): String =
-      txt.split("\"" + k + "\":").last.split("[,}]").head.trim.stripPrefix("\"").stripSuffix("\"")
-    Some(Snapshot(field("round").toInt, field("data_dir"), field("rows").toLong))
+    Some(parseManifest(Files.readString(manifestPath)))
   }
 
+  /**
+   * Read the current snapshot (one multi-path FileScan over the bucket
+   * files). Read-parallelism note: Spark packs small files into read
+   * partitions by `spark.sql.files.maxPartitionBytes` /
+   * `spark.sql.files.openCostInBytes` — when bucket files are much smaller
+   * than maxPartitionBytes (small local frontiers), many buckets share one
+   * partition and the streaming pop's parallelism is capped at the PACK
+   * count. Deployments with small bucket files should size
+   * openCostInBytes ≈ maxPartitionBytes ≈ the bucket-file size (the bench
+   * does); at the 10^10 design point bucket files are ~100 MB and the
+   * defaults already give one-file-per-partition. Correctness never
+   * depends on the packing: bucket files never split below
+   * maxPartitionBytes (checked at commit) and packed files are
+   * bucket-disjoint, which is all the streaming take needs.
+   */
   def read(spark: SparkSession): DataFrame =
     currentSnapshot() match {
-      case Some(s) => spark.read.schema(schema).parquet(s"$root/${s.dataDir}")
-      case None =>
+      case Some(s) if s.buckets.nonEmpty =>
+        spark.read.schema(schema).parquet(s.bucketPaths(root): _*)
+      case _ =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
 
-  /** Atomically replace the table contents with `df` as snapshot `round`. */
-  def commit(df: DataFrame, round: Int, partitionCols: Seq[String] = Nil): Long = {
+  /**
+   * Commit `df` as snapshot `round`. With `dirtyBuckets = None` the whole
+   * table is replaced (initial load); with `Some(buckets)` ONLY those
+   * buckets' files are rewritten — `df` must contain exactly the new
+   * content of the dirty buckets, and every clean bucket survives
+   * untouched from the previous snapshot. Returns total table rows.
+   */
+  def commit(df: DataFrame, round: Int, dirtyBuckets: Option[Set[Int]] = None): Long = {
     Files.createDirectories(Paths.get(root))
+    val spark = df.sparkSession
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val dataDir = s"data-r$round-$nonce"
-    // cluster rows by the partition columns first: without this every
-    // upstream task writes a file into every partition dir (tasks × dirs
-    // small files); with it, one exchange → one file per partition dir
+    // one exchange clusters rows per bucket (one task → one file per
+    // bucket dir); the within-partition sort gives each bucket file the
+    // (host, priority) layout the streaming pop depends on. The sort MUST
+    // lead with the write's partition key (`hb`): FileFormatWriter requires
+    // ordering by partition columns and would otherwise inject its own
+    // (unstable) sort, destroying the layout.
+    val clustered0 = df
+      .withColumn("hb", col(bucketCol)) // partition dir key; data keeps bucketCol
+      .repartition(col(bucketCol))
     val clustered =
-      if (partitionCols.nonEmpty)
-        df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
-      else df
-    val w0 = clustered.write.mode("overwrite")
-    val w = if (partitionCols.nonEmpty) w0.partitionBy(partitionCols: _*) else w0
-    w.parquet(s"$root/$dataDir")
-    val rows = df.sparkSession.read.schema(schema).parquet(s"$root/$dataDir").count()
-    val tmp = Paths.get(root, "manifest.json.tmp")
-    Files.writeString(tmp,
-      s"""{"round":$round,"data_dir":"$dataDir","rows":$rows}""")
+      if (sortCols.nonEmpty)
+        clustered0.sortWithinPartitions((col("hb") +: sortCols.map(col)): _*)
+      else clustered0
+    val timing = sys.env.contains("GRAFT_ROUND_TIMING")
+    def timed[T](label: String)(f: => T): T = {
+      if (!timing) f
+      else {
+        val t0 = System.nanoTime()
+        val v = f
+        System.err.println(f"[commit-timing] $label%-10s ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        v
+      }
+    }
+    timed("write")(clustered
+      .write.mode("overwrite").partitionBy("hb").parquet(s"$root/$dataDir"))
+
+    // bucket → rows from parquet footers (metadata only, no data re-scan;
+    // footer opens parallelized — sequential opens were a measurable
+    // driver-side serial floor at 64+ buckets/round)
+    val conf = spark.sessionState.newHadoopConf()
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val written: Map[Int, BucketEntry] = timed("footers")(
+      listBucketDirs(s"$root/$dataDir").par(16) { case (bucket, dir) =>
+        var rows = 0L
+        Files.list(dir).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .foreach { f =>
+            if (Files.size(f) > maxSplit)
+              System.err.println(s"[icebergish] WARN bucket file $f exceeds " +
+                s"maxPartitionBytes=$maxSplit — raise numBuckets (streaming-pop invariant)")
+            rows += parquetRowCount(conf, f.toString)
+          }
+        bucket -> BucketEntry(dataDir, rows)
+      }.toMap)
+
     val prev = currentSnapshot()
+    val kept: Map[Int, BucketEntry] = (prev, dirtyBuckets) match {
+      case (Some(p), Some(dirty)) => p.buckets -- dirty
+      case _ => Map.empty
+    }
+    val buckets = kept ++ written
+    val rows = buckets.valuesIterator.map(_.rows).sum
+    val tmp = Paths.get(root, "manifest.json.tmp")
+    Files.writeString(tmp, renderManifest(Snapshot(round, rows, buckets)))
     Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    prune(keep = Set(dataDir) ++ prev.map(_.dataDir))
+    prune(keep = buckets.valuesIterator.map(_.dir).toSet)
     rows
+  }
+
+  // ---- manifest codec (flat, hand-rolled — no JSON lib in scope) ----
+
+  private def renderManifest(s: Snapshot): String = {
+    val bs = s.buckets.toSeq.sortBy(_._1).map { case (b, e) =>
+      s""""$b":{"dir":"${e.dir}","rows":${e.rows}}"""
+    }.mkString(",")
+    s"""{"round":${s.round},"rows":${s.rows},"buckets":{$bs}}"""
+  }
+
+  private def parseManifest(txt: String): Snapshot = {
+    def topField(k: String): String =
+      txt.split("\"" + k + "\":")(1).split("[,{}]")(0).trim
+    val round = topField("round").toInt
+    val rows = topField("rows").toLong
+    val bucketsBody = txt.split("\"buckets\":\\{")(1).stripSuffix("}").stripSuffix("}")
+    val entries = "\"(\\d+)\":\\{\"dir\":\"([^\"]+)\",\"rows\":(\\d+)\\}".r
+      .findAllMatchIn(bucketsBody)
+      .map(m => m.group(1).toInt -> BucketEntry(m.group(2), m.group(3).toLong))
+      .toMap
+    Snapshot(round, rows, entries)
+  }
+
+  private implicit class ParOps[A](xs: Seq[A]) {
+    /** Fixed-pool parallel map (scala-parallel-collections isn't on the
+      * classpath; this is driver-side metadata I/O, not data compute). */
+    def par[B](threads: Int)(f: A => B): Seq[B] = {
+      if (xs.lengthCompare(2) < 0) return xs.map(f)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(threads, xs.length))
+      try {
+        val futures = xs.map(x => pool.submit(new java.util.concurrent.Callable[B] {
+          def call(): B = f(x)
+        }))
+        futures.map(_.get())
+      } finally pool.shutdown()
+    }
+  }
+
+  private def listBucketDirs(dataDir: String): Seq[(Int, java.nio.file.Path)] = {
+    val d = Paths.get(dataDir)
+    if (!Files.exists(d)) return Seq.empty
+    Files.list(d).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("hb="))
+      .map(p => p.getFileName.toString.stripPrefix("hb=").toInt -> p)
+      .toSeq
+  }
+
+  /** Row count from the parquet footer (Iceberg-manifest-style stats). */
+  private def parquetRowCount(conf: org.apache.hadoop.conf.Configuration,
+      file: String): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
   }
 
   private def prune(keep: Set[String]): Unit = {

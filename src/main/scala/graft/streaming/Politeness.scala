@@ -60,4 +60,55 @@ object Politeness {
     * narrow filter — composes before the throttle. */
   def robotsFilter(ds: Dataset[Candidate]): Dataset[Candidate] =
     ds.filter((c: Candidate) => UrlFns.robotsAllowed(c.url))
+
+  /** Empty (host, tokens, last_round) state frame for [[throttleRound]]. */
+  def emptyState(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("host", StringType, nullable = false),
+        StructField("tokens", DoubleType, nullable = false),
+        StructField("last_round", LongType, nullable = false))))
+  }
+
+  /**
+   * The SAME token-bucket semantics as [[throttle]], for the micro-batch
+   * crawler: state rides a tiny `(host, tokens, last_round)` table instead
+   * of GroupState (so it survives round replay and resume — the batch
+   * analogue of a streaming checkpoint). Per round each host refills
+   * `ratePerRound` (capped at `burst`) lazily since its last appearance,
+   * admits `floor(tokens)` of its popped rows in deterministic
+   * (depth, discovered_at, url) priority order, and keeps the remainder
+   * queued in the frontier (they were never marked visited).
+   *
+   * Scale: `popped` is budget-bounded (O(round), not O(frontier)) and the
+   * state table holds only hosts ever popped — both shuffle on `host`, the
+   * key the pop stage already clustered by.
+   *
+   * @return (admitted rows of `popped`, next round's full state table)
+   */
+  def throttleRound(popped: org.apache.spark.sql.DataFrame,
+      state: org.apache.spark.sql.DataFrame, roundId: Long,
+      ratePerRound: Double, burst: Double):
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val joined = popped
+      .join(state, Seq("host"), "left")
+      .withColumn("refilled", least(lit(burst),
+        coalesce(col("tokens"), lit(burst)) +
+          greatest(lit(0L), lit(roundId) - coalesce(col("last_round"), lit(roundId - 1)))
+            * ratePerRound))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("host"))
+        .orderBy(col("depth"), col("discovered_at"), col("url"))))
+    val admitted = joined.filter(col("rn") <= floor(col("refilled")))
+      .select(popped.columns.map(col).toIndexedSeq: _*)
+    val touched = joined.groupBy(col("host")).agg(
+      (max(col("refilled")) -
+        sum(when(col("rn") <= floor(col("refilled")), 1).otherwise(0))).as("tokens"),
+      max(lit(roundId)).as("last_round"))
+    // hosts not popped this round carry their state; they refill lazily on
+    // next appearance (rate × rounds-since-last is exactly the missed refill)
+    val carried = state.join(popped.select("host").distinct(), Seq("host"), "left_anti")
+    (admitted, touched.unionByName(carried))
+  }
 }

@@ -1,0 +1,18 @@
+package graft.tools
+
+import graft.Bench
+
+/** Dev probe: one crawlBench at N and 4N with GRAFT_ROUND_TIMING stage
+  * breakdowns, to localize the serial floor. */
+object CrawlBenchProbe {
+  def main(args: Array[String]): Unit = {
+    val seeds = sys.env.getOrElse("GRAFT_BENCH_SEEDS", "2000000").toLong
+    val rounds = sys.env.getOrElse("GRAFT_BENCH_ROUNDS", "2").toInt
+    // JIT warm-up session (same as Bench.main)
+    Bench.crawlBench(32, 100000, 1)
+    for (cores <- Seq(8, 32)) {
+      val (p, s) = Bench.crawlBench(cores, seeds, rounds)
+      println(f"[probe] cores=$cores urls=$p sec=$s%.2f rate=${p / s}%.0f")
+    }
+  }
+}

@@ -179,16 +179,18 @@ object Warehouse {
         ipCol.as("ipv4"), nsCol.as("nameservers"))
 
     // ---- fact_actions (store/init.go:76-86) ----
+    // every dimId is null-guarded: dim1 drops null natural keys, so an
+    // unguarded dimId(null) would mint a fact id with no dim row
     val factActions = act.select(
       actionId.as("id"),
       parentId.as("parent_id"),
       col("doc_id").as("session_id"),
-      dimId(col("method")).as("method_id"),
+      when(col("method").isNotNull, dimId(col("method"))).as("method_id"),
       when(col("protocol").isNotNull && col("protocol") =!= "",
         dimId(col("protocol"))).as("protocol_id"),
       when(hostCol.isNotNull && GraftExpressions.public_suffix(hostCol).isNotNull,
         dimId(hostCol)).as("host_id"),
-      dimId(col("initiator_kind")).as("initiator_id"),
+      when(col("initiator_kind").isNotNull, dimId(col("initiator_kind"))).as("initiator_id"),
       when(col("status").isNotNull && col("status") > 0, col("status")).as("status_code"),
       when(col("error").isNotNull, dimId(col("error"))).as("error_id"))
 
@@ -203,7 +205,7 @@ object Warehouse {
       nullif(parse_url(col("url"), lit("QUERY")), lit("")).as("raw_query"))
     val factUrls = urlParts.select(
       col("action_id"),
-      dimId(col("scheme")).as("scheme_id"),
+      when(col("scheme").isNotNull, dimId(col("scheme"))).as("scheme_id"),
       when(col("user").isNotNull, dimId(col("user"))).as("user_id"),
       when(col("uhost").isNotNull, dimId(col("uhost"))).as("host_id"),
       when(col("path").isNotNull, dimId(col("path"))).as("path_id"),
@@ -263,7 +265,8 @@ object Warehouse {
       actionId.as("action_id"),
       when(col("mime_browser").isNotNull && col("mime_browser") =!= "",
         dimId(col("mime_browser"))).as("browser_mime_id"),
-      dimId(col("mime_determined")).as("determined_mime_id"),
+      when(col("mime_determined").isNotNull && col("mime_determined") =!= "",
+        dimId(col("mime_determined"))).as("determined_mime_id"),
       col("body_sha256").as("hash256"),
       col("body_size").as("org_size"),
       // stored (gzip best-compression) size, store/file.go:39-44

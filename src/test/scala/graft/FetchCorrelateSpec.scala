@@ -92,11 +92,37 @@ class FetchCorrelateSpec extends AnyFunSuite {
     assert(sLast.links.isEmpty)
   }
 
+  test("redirect-cdp: real CDP shape (hop responses only as redirectResponse) correlates identically") {
+    // worker.go:1043-1046 backfill: parent.Response = sent.RedirectResponse.
+    // The explicit-response form and the CDP form must yield the same chain.
+    val s = session("http://fixture.test/redirect-cdp")
+    assert(s.actions.length == 3)
+    codesAre(s, Seq(301, 301, 200))
+    initiatorsAre(s, Seq("user", "redirect", "redirect"))
+    bodiesAre(s, Seq("", "", "hello world"))
+    assert(s.actions.map(_.parent_idx) == Seq(-1, 0, 1))
+    val ref = session("http://fixture.test/redirect")
+    assert(s.actions.map(a => (a.status, a.initiator_kind, a.parent_idx)) ==
+      ref.actions.map(a => (a.status, a.initiator_kind, a.parent_idx)))
+  }
+
+  test("orphan: parent without ANY response makes the child initiator 'user'") {
+    // worker.go:1088-1091: a.Parent != nil but Parent.Response == nil → user
+    val s = session("http://fixture.test/orphan")
+    assert(s.actions.length == 2)
+    codesAre(s, Seq(0, 200))
+    initiatorsAre(s, Seq("user", "user")) // NOT "script"
+    assert(s.actions(1).parent_idx == 0)
+  }
+
   test("fetch is deterministic") {
     val u = "http://h3.test/p/7"
-    // Array[Byte] bodies compare by reference — compare via the flattened Doc
+    // Array[Byte] payloads compare by reference — compare via the flattened
+    // Doc and strip byte fields from the raw comparison
     assert(Correlate.docFromSession(session(u)) == Correlate.docFromSession(session(u)))
-    assert(sim.fetch(u).copy(bodies = Seq.empty) == sim.fetch(u).copy(bodies = Seq.empty))
+    assert(sim.fetch(u).copy(bodies = Seq.empty, screenshot_bytes = Seq.empty) ==
+      sim.fetch(u).copy(bodies = Seq.empty, screenshot_bytes = Seq.empty))
+    assert(sim.screenshotBytes(u).toSeq == sim.screenshotBytes(u).toSeq)
   }
 
   test("doc spans: ordered offsets, kinds from the closed set") {

@@ -17,7 +17,7 @@ class OperatorsSpec extends AnyFunSuite {
   def corpus(): DataFrame = {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"
-    val near = base.replace("sigma", "psi") // 1 token of 20 differs
+    val near = base.replace("sigma", "digamma") // 1 token of 20 differs
     val salads = (3 until 40).map { i =>
       val ws = Array("table", "scan", "query", "join", "sort", "merge",
         "hash", "agg", "key", "row", "batch", "window")
@@ -99,14 +99,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"ANN recall $recall")
   }
 
-  test("ivf: assignment is total, probing returns k neighbors with true cosines") {
+  test("ivf: k-means centroids converge, assignment is total, probing returns k true-cosine neighbors") {
     val emb = embeddings()
-    val assigned = Similarity.ivfAssign(emb, cells = 8)
+    val centroids = Similarity.kmeansCentroids(emb, cells = 8, iters = 4)
+    assert(centroids.count() == 8)
+    // centroids are means, not corpus rows: cell ids are 0..7
+    assert(centroids.select("cell_id").collect().map(_.getInt(0)).sorted.toSeq ==
+      (0 until 8))
+    val assigned = Similarity.ivfAssign(emb, centroids)
     assert(assigned.count() == emb.count())
     val queries = emb.filter(col("vec_id") < 3)
-    val tk = Similarity.ivfTopK(assigned, queries, k = 5, nprobe = 4, cells = 8)
+    val tk = Similarity.ivfTopK(assigned, centroids, queries, k = 5, nprobe = 4)
     val rows = tk.collect()
     assert(rows.groupBy(_.getAs[Long]("q_id")).forall(_._2.length == 5))
+    // recall floor vs brute force — k-means cells must beat random probing
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val got = rows.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall $recall below floor")
   }
 
   test("embedding cosineNearDupPairs: planted duplicate vector is found") {

@@ -67,6 +67,91 @@ class PlanSpec extends AnyFunSuite {
     assert(df.limit(1).collect().head.getString(0).endsWith("example.co.uk"))
   }
 
+  test("sorted fifo pop: streaming take with NO Sort node and NO exchange") {
+    import spark.implicits._
+    // commit a frontier through the real table (bucket files stored sorted),
+    // then the fifo pop plan must be scan → filter → mapPartitions only
+    val dir = java.nio.file.Files.createTempDirectory("graft-pop-plan").toString
+    val table = new graft.sources.IcebergishTable(dir, Frontier.schema,
+      sortCols = Seq("host", "depth", "discovered_at", "url"))
+    val f = Frontier.normalizeCandidates(
+      (0 until 200).map(i => (s"http://h${i % 7}.test/p/$i", 0, i.toLong))
+        .toDF("url", "depth", "discovered_at"), 8)
+    table.commit(f, 0)
+    val popped = Frontier.pop(table.read(spark), "fifo", 42L, 2, 1000, sorted = true)
+    val plan = planOf(popped)
+    assert(!plan.contains("Exchange"), s"sorted pop shuffled:\n$plan")
+    assert(!plan.linesIterator.exists(_.trim.startsWith("+- Sort")) &&
+      !plan.linesIterator.exists(_.trim.startsWith("Sort ")),
+      s"sorted pop re-sorted the pool:\n$plan")
+    assert(plan.contains("MapPartitions"), s"expected streaming take:\n$plan")
+    // and it pops the same rows as the window form
+    val windowed = Frontier.pop(table.read(spark), "fifo", 42L, 2, 1000)
+    assert(popped.collect().map(_.getString(0)).sorted.toSeq ==
+      windowed.collect().map(_.getString(0)).sorted.toSeq)
+  }
+
+  test("frontier merge is a pure HashAggregate — no SortAggregate, no join, no extra sort") {
+    import spark.implicits._
+    def frame(urls: Seq[String]) = Frontier.normalizeCandidates(
+      urls.zipWithIndex.map { case (u, i) => (u, 1, i.toLong) }
+        .toDF("url", "depth", "discovered_at"), 8)
+    val f = frame((0 until 40).map(i => s"http://h$i.test/a"))
+    val c = frame((20 until 60).map(i => s"http://h$i.test/a"))
+    val p = f.limit(5)
+    val plan = planOf(Frontier.mergeRound(f, c, p, 3L))
+    assert(plan.contains("HashAggregate"), s"merge lost the hash agg:\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"merge fell back to SortAggregate (var-width agg buffer?):\n$plan")
+    assert(!plan.contains("Join"), s"merge should not join:\n$plan")
+    // and the packed-priority semantics round-trip exactly
+    val out = Frontier.mergeRound(f, c, p, 3L).collect()
+      .map(r => r.getString(0) -> (r.getInt(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out.size == 60)
+    assert(out("http://h25.test/a") == ((1, 25L, 0L))) // existing row wins identity
+    assert(out("http://h45.test/a") == ((1, 25L, 0L))) // new cand keeps its stamp
+    val popped = p.collect().map(_.getString(0)).toSet
+    popped.foreach(u => assert(out(u)._3 == 3L, s"visit mark lost for $u"))
+  }
+
+  test("near-dup verify is shuffle-based: no driver collect of per-doc data in operators/") {
+    // source-level gate (round-1 verdict #2): the dedup/similarity family
+    // must never materialize per-document payloads on the driver
+    val opsDir = java.nio.file.Paths.get("src/main/scala/graft/operators")
+    val offenders = java.nio.file.Files.list(opsDir).iterator()
+    val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (offenders.hasNext) {
+      val p = offenders.next()
+      val src = java.nio.file.Files.readString(p)
+      if (src.contains(".collect()")) bad += p.getFileName.toString
+    }
+    assert(bad.isEmpty, s"driver-side collect() in operators: $bad")
+  }
+
+  test("frontier bloom pre-filter probes via codegen'd might_contain, not a UDF") {
+    import spark.implicits._
+    // parquet-backed inputs: a LocalRelation would be constant-folded,
+    // evaporating the probe from the physical plan
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom-plan").toString
+    Frontier.normalizeCandidates(
+      (0 until 50).map(i => (s"http://h$i.test/", 0, i.toLong))
+        .toDF("url", "depth", "discovered_at"), 8)
+      .write.parquet(s"$dir/f")
+    Frontier.normalizeCandidates(
+      (40 until 90).map(i => (s"http://h$i.test/", 0, i.toLong))
+        .toDF("url", "depth", "discovered_at"), 8)
+      .write.parquet(s"$dir/c")
+    val f = spark.read.parquet(s"$dir/f")
+    val cands = spark.read.parquet(s"$dir/c")
+    val out = Frontier.newOnly(f, cands, expectedRows = 50L, bloomMinRows = 1L)
+    val plan = planOf(out)
+    assert(plan.contains("might_contain"), s"bloom probe missing:\n$plan")
+    assert(!plan.contains("UDF"), s"bloom probe fell back to a UDF:\n$plan")
+    // advisory only: output must still be the exact set difference
+    assert(out.select("url").collect().map(_.getString(0)).toSet ==
+      (50 until 90).map(i => s"http://h$i.test/").toSet)
+  }
+
   test("docs() reads only requested columns (wide-file column pruning)") {
     // build a tiny crawl, then check the session projection prunes spans
     val dir = java.nio.file.Files.createTempDirectory("graft-plan").toString
