@@ -25,11 +25,17 @@ val jdk17AddOpens = Seq(
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 // local[32] with cached fetch rounds needs real heap; the box has 128 GiB.
 // Xms=Xmx: heap-growth pauses would otherwise pollute the scaling bench.
-// 80g: the allocation-heavy fetch stage wants a ~20g eden while Spark's
-// execution memory (0.6 × heap, long-lived shuffle/sort buffers) must fit
-// the OLD gen — at 48g the two could not coexist and shuffle stages spent
-// up to half their time in full GCs (measured, round 2).
-val driverMem = sys.env.getOrElse("SPARK_DRIVER_MEM", "80g")
+// 32g, NOT bigger: this Firecracker guest's memory is hypervisor-backed
+// with free-page reporting — commit of a FRESH page faults through the
+// host at only ~200 MB/s (measured: -XX:+AlwaysPreTouch of an 80g heap
+// took 7 minutes). G1 rotates eden across all regions, so the whole heap
+// gets first-touched within a few rounds: at 80g that was a rolling
+// ~400 s kernel-time tax that hit exactly the allocation-heavy 32-thread
+// stages (GC logs showed Sys≈5×User), inverting the N→4N scaling signal.
+// 32g keeps the commit surface small while still fitting execution memory
+// (0.6 × heap) beside a multi-GB eden under G1's incremental old-gen
+// reclaim (ParallelGC at 48g could not — round-2 finding).
+val driverMem = sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")
 // young gen at a QUARTER of the resolved heap (never a fixed size: a fixed
 // -Xmn above a smaller SPARK_DRIVER_MEM override would refuse to start the
 // JVM). A large eden absorbs the fetch stage's GB/s of short-lived

@@ -236,12 +236,16 @@ object SparkEntry {
         .orderBy("a_id", "b_id")
     }),
 
-    // Sign-LSH ANN top-k — recall<1 by design → rows-only (recall floor
-    // asserted in OperatorsSpec against the exact baseline).
+    // Sign-LSH ANN top-k. Recall<1 by design, but the PLANES are an
+    // md5-derived literal matrix (Similarity.md5PlaneMatrix), so the DuckDB
+    // oracle rebuilds the exact same hyperplanes, buckets, candidate set,
+    // and cosine re-rank — a full hash-verified check of the approximate
+    // pipeline itself (recall floor vs brute force still in OperatorsSpec).
     "q29_ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.annTopK(emb, emb.filter(col("vec_id") < 20), 5,
-        tables = 32, planesPerTable = 5)
+        tables = 32, planesPerTable = 5,
+        planeMatrix = Some(Similarity.md5PlaneMatrix(32 * 5, 64)))
         .orderBy("q_id", "rk")
     }),
 
@@ -271,7 +275,8 @@ object SparkEntry {
 
     // Multimodal pipeline plumbing: synthetic binary media from docs →
     // magic-byte mime sniff (custom expression) → stubbed decode →
-    // per-kind feature stats — rows-only (binary path, no SQL oracle).
+    // per-kind feature stats. Hash-verified end to end: the media bytes
+    // are md5-derived so DuckDB rebuilds them byte-for-byte (see oracleSql).
     "q32_media_features" -> ((s, dir) => {
       import graft.operators.Multimodal
       val media = Multimodal.mediaFromDocs(t(s, dir, "documents"))
@@ -495,5 +500,88 @@ object SparkEntry {
         |    END AS fps
         |  FROM hs)
         |SELECT doc_id, unnest(fps)::BIGINT AS fp FROM mins
-        |ORDER BY doc_id, fp""".stripMargin)
+        |ORDER BY doc_id, fp""".stripMargin,
+    // the exact sign-LSH pipeline rebuilt in SQL: md5-derived ±1 planes
+    // (same matrix as Similarity.md5PlaneMatrix), sequential-fold
+    // projections (list_reduce = Spark's aggregate fold), bucket packing,
+    // candidate equi-join in any of 32 tables, dedup, cosine re-rank
+    "q29_ann_topk" ->
+      """WITH planes AS (
+        |  SELECT p,
+        |    [CASE WHEN (strpos('0123456789abcdef',
+        |                       substr(md5('plane:' || p || ':' || j), 2, 1)) - 1) % 2 = 0
+        |          THEN 1.0 ELSE -1.0 END for j in range(0, 64)] AS w
+        |  FROM range(0, 160) t(p)),
+        |proj AS (
+        |  SELECT e.vec_id, pl.p,
+        |    list_reduce(list_transform(range(1, 65),
+        |      i -> e.embedding[i]::DOUBLE * pl.w[i]), (a, b) -> a + b) AS pr
+        |  FROM embeddings e, planes pl),
+        |vb AS (
+        |  SELECT vec_id, p // 5 AS table_idx,
+        |    sum(CASE WHEN pr > 0 THEN 1::BIGINT << (p % 5) ELSE 0 END)::BIGINT AS bucket
+        |  FROM proj GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS q_id, n.vec_id AS n_id
+        |  FROM vb q JOIN vb n USING (table_idx, bucket)
+        |  WHERE q.vec_id < 20 AND q.vec_id <> n.vec_id),
+        |rer AS (
+        |  SELECT c.q_id, c.n_id,
+        |    round(list_cosine_similarity(eq.embedding::DOUBLE[],
+        |                                 en.embedding::DOUBLE[]), 6) AS cos
+        |  FROM cand c
+        |  JOIN embeddings eq ON eq.vec_id = c.q_id
+        |  JOIN embeddings en ON en.vec_id = c.n_id)
+        |SELECT q_id, n_id, cos, rk FROM (
+        |  SELECT q_id, n_id, cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+        |  FROM rer)
+        |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    // the synthetic media BYTES are md5-derived (Multimodal.mediaFromDocs)
+    // precisely so this oracle rebuilds every byte in SQL: header by seed
+    // parity, body block j = raw digest bytes of md5(seedhex||':'||j); then
+    // the 64-bin histogram, float32-emulated L2 norm, and the same rollup
+    "q32_media_features" ->
+      """WITH m AS (
+        |  SELECT doc_id::VARCHAR AS id,
+        |         md5(doc_id::VARCHAR || '|' || substr(text, 1, 64)) AS seedhex
+        |  FROM documents),
+        |s AS (
+        |  SELECT id, seedhex,
+        |    (strpos('0123456789abcdef', seedhex[16]) - 1) % 2 = 0 AS is_png
+        |  FROM m),
+        |blocks AS (
+        |  SELECT id, is_png, md5(seedhex || ':' || j::VARCHAR) AS bh
+        |  FROM s, range(0, 16) r(j)),
+        |bodybytes AS (
+        |  SELECT id, is_png,
+        |    (strpos('0123456789abcdef', bh[2*i-1]) - 1) * 16 +
+        |    (strpos('0123456789abcdef', bh[2*i]) - 1) AS b
+        |  FROM blocks, range(1, 17) ri(i)),
+        |hdrbytes AS (
+        |  SELECT id, is_png,
+        |    unnest(CASE WHEN is_png THEN [137,80,78,71,13,10,26,10]
+        |                ELSE [82,73,70,70,36,0,0,0] END) AS b
+        |  FROM s),
+        |hist AS (
+        |  SELECT id, is_png, b // 4 AS bin, count(*)::DOUBLE AS c
+        |  FROM (SELECT * FROM hdrbytes UNION ALL SELECT * FROM bodybytes)
+        |  GROUP BY 1, 2, 3),
+        |norm AS (
+        |  SELECT id, is_png,
+        |    coalesce(sum(c) FILTER (bin = 0), 0) AS h0, sum(c * c) AS ss
+        |  FROM hist GROUP BY 1, 2),
+        |perdoc AS (
+        |  SELECT id, is_png,
+        |    round(CAST(CAST(h0 AS FLOAT) * CAST(1.0 / sqrt(ss) AS FLOAT)
+        |               AS FLOAT)::DOUBLE, 6) AS f0
+        |  FROM norm)
+        |SELECT CASE WHEN is_png THEN 'image' ELSE 'audio' END AS kind,
+        |       CASE WHEN is_png THEN 'image/png' ELSE 'audio/wave' END AS sniffed_mime,
+        |       count(*) AS cnt,
+        |       round(avg(264.0), 2) AS avg_bytes,
+        |       round(avg(f0), 6) AS avg_f0
+        |FROM perdoc
+        |GROUP BY 1, 2
+        |ORDER BY kind""".stripMargin)
 }

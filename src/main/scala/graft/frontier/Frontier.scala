@@ -285,11 +285,18 @@ object Frontier {
    *  - `last_visit = max(...)` — popped rows mark this round, others keep
    *    their old mark.
    *
-   * One exchange on url, pure HashAggregate (fixed-width LONG buffers — see
+   * ONE exchange total, pure HashAggregate (fixed-width LONG buffers — see
    * [[packPrio]]; NO sort anywhere: the round-1 full outer join sorted BOTH
-   * sides). Pass only the DIRTY buckets' frontier rows — clean buckets
-   * never enter the shuffle, making per-round cost O(touched data), the
-   * real MERGE INTO shape.
+   * sides). The exchange hashes on `host_bucket`, NOT on the group key:
+   * host_bucket is a function of url, so bucket-clustering already
+   * co-locates every url's rows, and Catalyst accepts it for the groupBy's
+   * ClusteredDistribution (subset rule) — the aggregate runs bucket-local
+   * with no second exchange, AND the output is exactly the partitioning the
+   * table commit needs, so the commit's own repartition disappears too
+   * (round 2 paid exchange-on-url + exchange-on-bucket = two full passes of
+   * the pool over the wire per round). Pass only the DIRTY buckets'
+   * frontier rows — clean buckets never enter the shuffle, making
+   * per-round cost O(touched data), the real MERGE INTO shape.
    */
   def mergeRound(frontier: DataFrame, cands: DataFrame, popped: DataFrame,
       round: Long): DataFrame = {
@@ -305,6 +312,7 @@ object Frontier {
     // groups, var-width KEYS are fine for HashAggregate — only the two
     // LONG buffers must be fixed-width). Also ~halves the shuffle row.
     f.unionByName(c).unionByName(m)
+      .repartition(col("host_bucket"))
       .groupBy(col("url"), col("host"), col("host_bucket"))
       .agg(min(col("k")).as("k"), max(col("last_visit")).as("last_visit"))
       .select(col("url"), col("host"), col("host_bucket"),

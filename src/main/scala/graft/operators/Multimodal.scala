@@ -28,27 +28,43 @@ object Multimodal {
   case class MediaFeatures(media_id: String, kind: String, features: Array[Float])
 
   /** Deterministic synthetic media corpus derived from a docs table:
-    * media bytes = magic header (png/wav alternating by id hash) + a
+    * media bytes = magic header (png/wav alternating by seed parity) + a
     * byte-stream seeded by the doc fingerprint. Exercises the real binary
-    * column path end to end without codecs. */
+    * column path end to end without codecs.
+    *
+    * The seed and byte-stream are md5-derived (NOT a JVM-private hash) so
+    * the driver's DuckDB oracle recomputes the exact same bytes in SQL
+    * (the q28/q31 technique): `seedhex = md5(doc_id || '|' || text[:64])`,
+    * body block j = the raw 16 digest bytes of `md5(seedhex || ':' || j)`. */
   def mediaFromDocs(docs: DataFrame, bytesPerDoc: Int = 256): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id").cast("string"), col("text")).as[(String, String)]
       .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val ascii = java.nio.charset.StandardCharsets.US_ASCII
+        def hex(b: Array[Byte]): String = {
+          val sb = new java.lang.StringBuilder(b.length * 2)
+          b.foreach(x => sb.append(f"${x & 0xff}%02x"))
+          sb.toString
+        }
         it.map { case (id, text) =>
-          val seed = graft.fetch.FetchSim.fnv1a(id + "|" + text.take(64))
+          val seedDigest = md.digest((id + "|" + text.take(64)).getBytes(ascii))
+          val seedHex = hex(seedDigest)
+          val seed = java.lang.Long.parseUnsignedLong(seedHex.substring(0, 16), 16)
           val isPng = (seed & 1L) == 0L
           val header: Array[Byte] =
             if (isPng) Array(0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
             else Array('R', 'I', 'F', 'F', 0x24, 0x00, 0x00, 0x00)
           val body = new Array[Byte](bytesPerDoc)
-          var h = seed
-          var i = 0
-          while (i < body.length) {
-            h = h * 6364136223846793005L + 1442695040888963407L
-            body(i) = (h >>> 56).toByte
-            i += 1
+          var off = 0
+          var j = 0
+          while (off < bytesPerDoc) {
+            val block = md.digest((seedHex + ":" + j).getBytes(ascii))
+            val n = math.min(block.length, bytesPerDoc - off)
+            System.arraycopy(block, 0, body, off, n)
+            off += n
+            j += 1
           }
           val meta =
             if (isPng) MediaMeta(64 + (seed % 1920).toInt.abs, 64 + (seed % 1080).toInt.abs, 0L, 0)

@@ -65,18 +65,55 @@ object Similarity {
         (b, i) => call_function("shiftleft", b, i.cast("int"))), lit(0L), (a, x) => a.bitwiseOR(x))
     })
 
+  /** ±1 hyperplane matrix derived from md5 (a public cross-engine hash, the
+    * q28/q31/q32 technique) so the driver's DuckDB oracle rebuilds the
+    * EXACT planes in SQL: sign of (plane p, dim j) = +1 iff the low bit of
+    * the first md5 byte of "plane:p:j" is 0 (⇔ second hex digit even). The
+    * matrix is tiny (planes×dims) and rides the plan as a literal — the
+    * per-row hashing cost of the xxhash64 form disappears entirely. */
+  def md5PlaneMatrix(planes: Int, dims: Int): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Seq.tabulate(planes)(p => Seq.tabulate(dims) { j =>
+      val h = md.digest(s"plane:$p:$j".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      if ((h(0) & 1) == 0) 1.0 else -1.0
+    })
+  }
+
+  /** [[signBuckets]] over an explicit literal plane matrix. */
+  def signBucketsLit(vec: Column, matrix: Seq[Seq[Double]],
+      planesPerTable: Int): Column = {
+    val tables = matrix.length / planesPerTable
+    val m = typedlit(matrix)
+    transform(sequence(lit(0), lit(tables - 1)), t => {
+      val bits = transform(sequence(lit(0), lit(planesPerTable - 1)), p => {
+        val planeVec = element_at(m, (t * lit(planesPerTable) + p + lit(1)).cast("int"))
+        val proj = aggregate(
+          zip_with(vec, planeVec, (x, w) => x.cast("double") * w),
+          lit(0.0), (acc, v) => acc + v)
+        when(proj > 0, lit(1L)).otherwise(lit(0L))
+      })
+      aggregate(zip_with(bits, sequence(lit(0), lit(planesPerTable - 1)),
+        (b, i) => call_function("shiftleft", b, i.cast("int"))), lit(0L), (a, x) => a.bitwiseOR(x))
+    })
+  }
+
   /**
    * ANN top-k via sign-LSH: corpus and queries hash into `tables` bucket
    * keys; candidates = bucket equi-join matches in ANY table; exact cosine
    * re-rank keeps top-k. Recall < 1 by construction (that's the trade);
    * measure it against [[bruteForceTopK]] — the spec asserts a floor.
+   * `planeMatrix` (e.g. [[md5PlaneMatrix]]) swaps the xxhash64 planes for
+   * oracle-reproducible literal ones.
    */
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      tables: Int = 8, planesPerTable: Int = 12): DataFrame = {
+      tables: Int = 8, planesPerTable: Int = 12,
+      planeMatrix: Option[Seq[Seq[Double]]] = None): DataFrame = {
     def withBuckets(df: DataFrame, prefix: String): DataFrame =
       df.select(col("vec_id").as(s"${prefix}_id"), col("embedding").as(s"${prefix}_emb"),
-        posexplode(signBuckets(col("embedding"), tables, planesPerTable))
-          .as(Seq("table_idx", "bucket")))
+        posexplode(planeMatrix match {
+          case Some(m) => signBucketsLit(col("embedding"), m, planesPerTable)
+          case None => signBuckets(col("embedding"), tables, planesPerTable)
+        }).as(Seq("table_idx", "bucket")))
     val c = withBuckets(corpus, "n")
     val q = withBuckets(queries, "q")
     c.join(q, Seq("table_idx", "bucket"))

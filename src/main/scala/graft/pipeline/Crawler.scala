@@ -42,10 +42,16 @@ class Crawler(
 
   import spark.implicits._
 
+  private def writerOptions: Map[String, String] =
+    if (cfg.parquetBlockBytes > 0)
+      Map("parquet.block.size" -> cfg.parquetBlockBytes.toString)
+    else Map.empty
+
   /** Frontier table: bucket-granular snapshots, files stored sorted by
     * (host, fifo-priority) so pop streams without sorting. */
   val frontierTable = new IcebergishTable(s"$workDir/frontier", Frontier.schema,
-    sortCols = Seq("host", "depth", "discovered_at", "url"))
+    sortCols = Seq("host", "depth", "discovered_at", "url"),
+    writerOptions = writerOptions)
   val seenFilters = new graft.frontier.SeenFilterStore(workDir)
   private def docsDir = s"$workDir/docs"
 
@@ -184,7 +190,8 @@ class Crawler(
       .observe(obs,
         sum(when(col("error") === "", 1L).otherwise(0L)).as("ok"),
         sum(when(col("error") =!= "", 1L).otherwise(0L)).as("err"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$docsDir/round=$r"))
+      .write.mode(SaveMode.Overwrite).options(writerOptions)
+      .parquet(s"$docsDir/round=$r"))
     val obsRow = obs.get
     def obsLong(k: String): Long =
       Option(obsRow.getOrElse(k, null)).map(_.asInstanceOf[Long]).getOrElse(0L)
@@ -228,12 +235,16 @@ class Crawler(
     // optional per-partition cuckoo refinement (north rule): provably-new
     // candidates bypass the exact merge aggregation; correctness never
     // depends on it (advisory only — see SeenFilterStore)
+    // mergeRound's output is already bucket-hash-partitioned — the commit
+    // reuses that exchange (preClustered) unless the seen-filter union
+    // broke it
     val merged =
       if (cfg.useSeenFilter) {
         val (provablyNew, maybeSeen) = seenFilters.split(spark, r - 1, cands)
         Frontier.mergeRound(frontierDirty, maybeSeen, popped, r).unionByName(provablyNew)
       } else Frontier.mergeRound(frontierDirty, cands, popped, r)
-    val frontierRows = timed("commit")(frontierTable.commit(merged, r, Some(dirty)))
+    val frontierRows = timed("commit")(frontierTable.commit(merged, r, Some(dirty),
+      preClustered = !cfg.useSeenFilter))
     if (cfg.useSeenFilter)
       seenFilters.updateAndSave(spark, r, r - 1, cands, frontierTable.read(spark))
     if (multiPass) cands.unpersist()
@@ -316,7 +327,12 @@ case class CrawlConfig(
     /** Physical content-addressed body/screenshot store (O9/O10) — on by
       * default like the reference; benches that isolate the frontier
       * metric turn it off explicitly. */
-    storeFiles: Boolean = true)
+    storeFiles: Boolean = true,
+    /** `parquet.block.size` for docs/frontier writes; 0 = parquet default
+      * (128 MB — right for object storage at the 10^10 design point, but a
+      * per-writer-task heap buffer at local[32]: 64 concurrent writers ×
+      * 128 MB would out-size the whole young gen. Benches set ~16 MB). */
+    parquetBlockBytes: Long = 0L)
 
 case class RoundStats(
     round: Int,

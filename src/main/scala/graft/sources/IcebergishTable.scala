@@ -46,7 +46,11 @@ import scala.jdk.CollectionConverters._
  */
 class IcebergishTable(val root: String, schema: StructType,
     bucketCol: String = "host_bucket",
-    sortCols: Seq[String] = Nil) extends Serializable {
+    sortCols: Seq[String] = Nil,
+    /** Extra options for the parquet writes (e.g. `parquet.block.size` —
+      * the default 128 MB row-group buffer per concurrent writer task is
+      * real heap at local[32]; bucket files are a few MB here anyway). */
+    writerOptions: Map[String, String] = Map.empty) extends Serializable {
 
   private def manifestPath = Paths.get(root, "manifest.json")
 
@@ -93,7 +97,12 @@ class IcebergishTable(val root: String, schema: StructType,
    * content of the dirty buckets, and every clean bucket survives
    * untouched from the previous snapshot. Returns total table rows.
    */
-  def commit(df: DataFrame, round: Int, dirtyBuckets: Option[Set[Int]] = None): Long = {
+  /** @param preClustered the caller guarantees `df` is already hash-
+    *   partitioned by `bucketCol` (e.g. straight out of
+    *   [[graft.frontier.Frontier.mergeRound]]) — the commit skips its own
+    *   repartition, so merge + sorted write share ONE exchange. */
+  def commit(df: DataFrame, round: Int, dirtyBuckets: Option[Set[Int]] = None,
+      preClustered: Boolean = false): Long = {
     Files.createDirectories(Paths.get(root))
     val spark = df.sparkSession
     val nonce = java.util.UUID.randomUUID().toString.take(8)
@@ -104,9 +113,9 @@ class IcebergishTable(val root: String, schema: StructType,
     // lead with the write's partition key (`hb`): FileFormatWriter requires
     // ordering by partition columns and would otherwise inject its own
     // (unstable) sort, destroying the layout.
-    val clustered0 = df
-      .withColumn("hb", col(bucketCol)) // partition dir key; data keeps bucketCol
-      .repartition(col(bucketCol))
+    val keyed = df.withColumn("hb", col(bucketCol)) // partition dir key
+    val clustered0 =
+      if (preClustered) keyed else keyed.repartition(col(bucketCol))
     val clustered =
       if (sortCols.nonEmpty)
         clustered0.sortWithinPartitions((col("hb") +: sortCols.map(col)): _*)
@@ -122,7 +131,8 @@ class IcebergishTable(val root: String, schema: StructType,
       }
     }
     timed("write")(clustered
-      .write.mode("overwrite").partitionBy("hb").parquet(s"$root/$dataDir"))
+      .write.mode("overwrite").options(writerOptions)
+      .partitionBy("hb").parquet(s"$root/$dataDir"))
 
     // bucket → rows from parquet footers (metadata only, no data re-scan;
     // footer opens parallelized — sequential opens were a measurable

@@ -99,6 +99,40 @@ object Providers {
       .filter(col("id").isNotNull)
       .dropDuplicates("id")
 
+  /**
+   * S4 streaming form with the reference's TRUE high-watermark state: ONE
+   * monotone `newestId` long (provider.go:243-266) held in
+   * `flatMapGroupsWithState`, instead of [[feedStream]]'s dropDuplicates
+   * (whose seen-id set grows without bound — fine for tests, wrong at
+   * scale). Each micro-batch emits only ids above the watermark, sorted by
+   * id like the reference's `sort.Sort` (provider.go:231), then advances
+   * it. Gzip'd snapshots (`*.json.gz`) decode transparently — Spark's file
+   * source gunzips by extension, standing in for provider.go:213; drive
+   * the query with `Trigger.ProcessingTime` for the 20-min poll tick
+   * (provider.go:179-181; ProvidersSpec demonstrates both).
+   */
+  def feedStreamHwm(spark: SparkSession, feedDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    spark.readStream
+      .schema(StructType(Seq(StructField("payload", StringType))))
+      .json(feedDir)
+      .select(explode(from_json(col("payload"), ArrayType(feedSchema))).as("e"))
+      .select(col("e.phish_id").cast("long").as("id"), col("e.url").as("url"))
+      .filter(col("id").isNotNull)
+      .as[(Long, String)]
+      .groupByKey(_ => 0) // one global watermark, like the single newestId
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, rows: Iterator[(Long, String)],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          val hwm = state.getOption.getOrElse(0L)
+          val fresh = rows.filter(_._1 > hwm).toVector.sortBy(_._1)
+          if (fresh.nonEmpty) state.update(fresh.last._1)
+          fresh.iterator
+      }
+      .toDF("id", "url")
+  }
+
   /** S5 `URLChanProvider` (provider.go:25-31): any in-memory url list as a
     * provider frame. */
   def fromUrls(spark: SparkSession, urls: Seq[String]): DataFrame = {
@@ -112,15 +146,27 @@ object Providers {
     providers.reduce(_ unionByName _)
 
   /** Write a deterministic synthetic feed snapshot (test/demo helper):
-    * `count` entries with ids starting at `firstId`, one JSON doc per line. */
-  def writeFeedSnapshot(dir: String, firstId: Long, count: Int): Unit = {
+    * `count` entries with ids starting at `firstId`, one JSON doc per line.
+    * `gzip = true` writes `feed-<id>.json.gz` — the PhishTank transport
+    * encoding (provider.go:213); Spark's file source gunzips by
+    * extension. */
+  def writeFeedSnapshot(dir: String, firstId: Long, count: Int,
+      gzip: Boolean = false): Unit = {
     val entries = (0 until count).map { i =>
       val id = firstId + i
       s"""{"phish_id":"$id","url":"http://h${id % 50}.test/p/${id % 20}"}"""
     }.mkString("[", ",", "]")
     val payload = s"""{"payload":"${entries.replace("\"", "\\\"")}"}"""
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(dir, s"feed-$firstId.json"), payload)
+    if (!gzip)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, s"feed-$firstId.json"), payload): Unit
+    else {
+      val out = new java.util.zip.GZIPOutputStream(
+        java.nio.file.Files.newOutputStream(
+          java.nio.file.Paths.get(dir, s"feed-$firstId.json.gz")))
+      try out.write(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
   }
 }

@@ -8,9 +8,11 @@ object CrawlBenchProbe {
   def main(args: Array[String]): Unit = {
     val seeds = sys.env.getOrElse("GRAFT_BENCH_SEEDS", "2000000").toLong
     val rounds = sys.env.getOrElse("GRAFT_BENCH_ROUNDS", "2").toInt
+    val levels = sys.env.getOrElse("GRAFT_PROBE_LEVELS", "8,32")
+      .split(",").toSeq.map(_.trim.toInt)
     // JIT warm-up session (same as Bench.main)
     Bench.crawlBench(32, 100000, 1)
-    for (cores <- Seq(8, 32)) {
+    for (cores <- levels) {
       val (p, s) = Bench.crawlBench(cores, seeds, rounds)
       println(f"[probe] cores=$cores urls=$p sec=$s%.2f rate=${p / s}%.0f")
     }

@@ -91,11 +91,13 @@ class PlanSpec extends AnyFunSuite {
       windowed.collect().map(_.getString(0)).sorted.toSeq)
   }
 
-  test("frontier merge is a pure HashAggregate — no SortAggregate, no join, no extra sort") {
+  test("frontier merge is a pure HashAggregate — no SortAggregate, no join, one bucket exchange") {
     import spark.implicits._
+    // dedup=false inputs: no upstream aggregation, so every exchange in the
+    // plan belongs to the merge itself
     def frame(urls: Seq[String]) = Frontier.normalizeCandidates(
       urls.zipWithIndex.map { case (u, i) => (u, 1, i.toLong) }
-        .toDF("url", "depth", "discovered_at"), 8)
+        .toDF("url", "depth", "discovered_at"), 8, dedup = false)
     val f = frame((0 until 40).map(i => s"http://h$i.test/a"))
     val c = frame((20 until 60).map(i => s"http://h$i.test/a"))
     val p = f.limit(5)
@@ -104,6 +106,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortAggregate"),
       s"merge fell back to SortAggregate (var-width agg buffer?):\n$plan")
     assert(!plan.contains("Join"), s"merge should not join:\n$plan")
+    // ONE exchange, hashed on host_bucket (url-clustering comes for free:
+    // host_bucket is a function of url) — the groupBy must NOT add its own
+    // url-hash exchange, and the commit reuses this same partitioning
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"merge planned $exchanges exchanges (want 1):\n$plan")
+    assert(!plan.contains("hashpartitioning(url"),
+      s"merge shuffled on url — bucket partitioning not reused:\n$plan")
     // and the packed-priority semantics round-trip exactly
     val out = Frontier.mergeRound(f, c, p, 3L).collect()
       .map(r => r.getString(0) -> (r.getInt(3), r.getLong(4), r.getLong(5))).toMap

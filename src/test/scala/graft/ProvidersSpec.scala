@@ -75,6 +75,32 @@ class ProvidersSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("feedStreamHwm: O(1) high-watermark gate, gzip'd poll, ProcessingTime trigger") {
+    val dir = tmpDir()
+    // poll 1: plain json, ids 1..3
+    Providers.writeFeedSnapshot(dir, firstId = 1, count = 3)
+    val q = Providers.feedStreamHwm(spark, dir)
+      .writeStream.format("memory").queryName("feed_hwm_out")
+      // the 20-min PhishTank tick (provider.go:179-181), scaled for a test
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("feed_hwm_out").count() == 3)
+      // poll 2: GZIP transport (provider.go:213) re-announces 2..3 (below
+      // the watermark — dropped by the newestId gate, provider.go:243-266)
+      // and adds 4..6
+      Providers.writeFeedSnapshot(dir, firstId = 2, count = 5, gzip = true)
+      q.processAllAvailable()
+      val ids = spark.table("feed_hwm_out").collect().map(_.getAs[Long]("id")).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L), s"got ${ids.toSeq}")
+      // poll 3: everything at-or-below the watermark → nothing new
+      Providers.writeFeedSnapshot(dir, firstId = 3, count = 3)
+      q.processAllAvailable()
+      assert(spark.table("feed_hwm_out").count() == 6)
+    } finally q.stop()
+  }
+
   test("consume unions providers; middleware skip/only filters compose") {
     import spark.implicits._
     val a = Seq("http://a.test/1").toDF("url")
