@@ -21,8 +21,13 @@ import org.apache.spark.sql.functions._
  */
 object Bench {
 
-  private def session(cores: Int): SparkSession = {
-    val s = SparkSession.builder()
+  /** @param shuffleZstd crawl sessions compress shuffle with zstd: on this
+    *   VM every fresh tmpfs page costs fixed ~200 MB/s kernel time, so
+    *   halving shuffle bytes buys non-scaling time back at a CPU cost that
+    *   scales with cores. The query-suite session keeps lz4 (its multi-GB
+    *   q24/q25 shuffles are CPU-bound already). */
+  private def session(cores: Int, shuffleZstd: Boolean = false): SparkSession = {
+    val b0 = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
       // 4 waves of shuffle tasks: bucket-hash collisions skew partition
@@ -50,7 +55,12 @@ object Bench {
       // CPU-bound already, and zstd there bought little and cost much.
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.hadoop.parquet.compression.codec.zstd.level", "2")
-      .getOrCreate()
+    val b =
+      if (shuffleZstd)
+        b0.config("spark.io.compression.codec", "zstd")
+          .config("spark.io.compression.zstd.level", "1")
+      else b0
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     if (sys.env.contains("GRAFT_STAGE_TIMING"))
       s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
@@ -76,7 +86,7 @@ object Bench {
     * Identical input at every parallelism level: the seed frame and the
     * fetch simulator are deterministic functions of (seed, id). */
   def crawlBench(cores: Int, seedCount: Long, rounds: Int): (Long, Double) = {
-    val spark = session(cores)
+    val spark = session(cores, shuffleZstd = true)
     try {
       val benchRoot = java.nio.file.Paths.get("/dev/shm/graft-bench")
       java.nio.file.Files.createDirectories(benchRoot)

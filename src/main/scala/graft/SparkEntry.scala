@@ -249,8 +249,11 @@ object SparkEntry {
         .orderBy("q_id", "rk")
     }),
 
-    // IVF coarse ANN over seeded Lloyd's k-means centroids — rows-only
-    // (recall floor vs brute force asserted in OperatorsSpec).
+    // IVF coarse ANN over seeded Lloyd's k-means centroids. Hash-verified:
+    // the k-means init orders by md5 (cross-engine hash) and the oracle
+    // unrolls all 4 Lloyd iterations in SQL — init sample, per-cell
+    // float32 centroid means, argmax-cosine assignment, nprobe probing,
+    // and the exact re-rank (recall floor vs brute force in OperatorsSpec).
     "q30_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val centroids = Similarity.kmeansCentroids(emb, cells = 16, iters = 4)
@@ -293,6 +296,71 @@ object SparkEntry {
           round(avg(col("f0")), 6).as("avg_f0"))
         .orderBy("kind")
     }))
+
+  /** q30's oracle: the full IVF pipeline — seeded k-means (4 Lloyd
+    * iterations UNROLLED as CTE layers c0..c4), assignment, nprobe
+    * probing, exact re-rank — rebuilt in DuckDB SQL. Reproducibility
+    * hinges on (a) md5-ordered init (same sample both engines), (b)
+    * centroid means truncated to float32 each iteration (CAST(avg AS
+    * FLOAT) = Spark's .cast("float") on the double avg), (c)
+    * deterministic argmax ties (ORDER BY d DESC, cell_id). */
+  private def q30OracleSql: String = {
+    val iters = 4
+    val init =
+      """c0 AS (
+        |  SELECT (rk - 1)::INT AS cell_id, embedding AS cell FROM (
+        |    SELECT vec_id, embedding,
+        |      row_number() OVER (ORDER BY md5('km:42:' || vec_id::VARCHAR), vec_id) AS rk
+        |    FROM embeddings) WHERE rk <= 16)""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      s"""a$i AS (
+         |  SELECT vec_id, embedding, cell_id FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+         |                                        c.cell::DOUBLE[]) DESC,
+         |                 c.cell_id) AS rk
+         |    FROM embeddings e, c${i - 1} c) WHERE rk = 1),
+         |n$i AS (
+         |  SELECT cell_id, list(m ORDER BY pos) AS cell FROM (
+         |    SELECT cell_id, pos, CAST(avg(v::DOUBLE) AS FLOAT) AS m FROM (
+         |      SELECT cell_id, unnest(embedding) AS v, unnest(range(1, 65)) AS pos
+         |      FROM a$i)
+         |    GROUP BY cell_id, pos)
+         |  GROUP BY cell_id),
+         |c$i AS (
+         |  SELECT p.cell_id, coalesce(n.cell, p.cell) AS cell
+         |  FROM c${i - 1} p LEFT JOIN n$i n USING (cell_id))""".stripMargin
+    }
+    val tail =
+      s"""assign AS (
+         |  SELECT vec_id, embedding, cell_id FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+         |                                        c.cell::DOUBLE[]) DESC,
+         |                 c.cell_id) AS rk
+         |    FROM embeddings e, c$iters c) WHERE rk = 1),
+         |probes AS (
+         |  SELECT q_id, q_emb, cell_id FROM (
+         |    SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.cell_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+         |                                        c.cell::DOUBLE[]) DESC,
+         |                 c.cell_id) AS rk
+         |    FROM embeddings e, c$iters c WHERE e.vec_id < 20) WHERE rk <= 4),
+         |rer AS (
+         |  SELECT p.q_id, a.vec_id AS n_id,
+         |    round(list_cosine_similarity(p.q_emb::DOUBLE[],
+         |                                 a.embedding::DOUBLE[]), 6) AS cos
+         |  FROM probes p JOIN assign a USING (cell_id)
+         |  WHERE p.q_id <> a.vec_id)
+         |SELECT q_id, n_id, cos, rk FROM (
+         |  SELECT q_id, n_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+         |  FROM rer) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+    (Seq("WITH " + init) ++ iterCtes ++ Seq(tail)).mkString(",\n")
+  }
 
   // Shared SQL fragments for the oracle side.
   private val toksSql =
@@ -537,6 +605,8 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
         |  FROM rer)
         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    // full IVF pipeline unrolled in SQL (see q30OracleSql scaladoc)
+    "q30_ivf_topk" -> q30OracleSql,
     // the synthetic media BYTES are md5-derived (Multimodal.mediaFromDocs)
     // precisely so this oracle rebuilds every byte in SQL: header by seed
     // parity, body block j = raw digest bytes of md5(seedhex||':'||j); then

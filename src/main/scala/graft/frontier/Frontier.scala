@@ -300,22 +300,29 @@ object Frontier {
    */
   def mergeRound(frontier: DataFrame, cands: DataFrame, popped: DataFrame,
       round: Long): DataFrame = {
+    // `host` is a pure function of url (url_host, the same expression
+    // normalizeCandidates derived it with) — DON'T ship it through the
+    // exchange: at ~12 B of a ~60 B row that's ~20% of the round's shuffle
+    // bytes (which cost fixed ~200 MB/s kernel time on this VM, and
+    // network at the 10^10 design point). Recomputed post-agg, codegen'd.
     def slim(df: DataFrame, src: Int, visit: Column): DataFrame =
-      df.select(col("url"), col("host"), col("host_bucket"),
+      df.select(col("url"), col("host_bucket"),
         packPrio(lit(src), col("depth"), col("discovered_at")).as("k"),
         visit.as("last_visit"))
     val f = slim(frontier, 0, col("last_visit"))
     val c = slim(cands, 1, lit(0L))
     // popped ⊆ frontier: full identity is already on the row
     val m = slim(popped, 0, lit(round))
-    // host/host_bucket are functions of url → grouping keys (identical
+    // host_bucket is a function of url → an extra grouping key (identical
     // groups, var-width KEYS are fine for HashAggregate — only the two
-    // LONG buffers must be fixed-width). Also ~halves the shuffle row.
+    // LONG buffers must be fixed-width).
     f.unionByName(c).unionByName(m)
       .repartition(col("host_bucket"))
-      .groupBy(col("url"), col("host"), col("host_bucket"))
+      .groupBy(col("url"), col("host_bucket"))
       .agg(min(col("k")).as("k"), max(col("last_visit")).as("last_visit"))
-      .select(col("url"), col("host"), col("host_bucket"),
+      .select(col("url"),
+        graft.functions.GraftExpressions.url_host(col("url")).as("host"),
+        col("host_bucket"),
         unpackDepth(col("k")).as("depth"),
         unpackDiscoveredAt(col("k")).as("discovered_at"), col("last_visit"))
   }

@@ -159,9 +159,14 @@ object Similarity {
    */
   def kmeansCentroids(corpus: DataFrame, cells: Int, iters: Int = 5,
       seed: Long = 42L): DataFrame = {
+    // init order by md5 (not xxhash64): deterministic either way, but md5
+    // is a public cross-engine hash, so the DuckDB oracle replays the SAME
+    // init sample and every unrolled Lloyd iteration after it (q30)
     var centroids = corpus
       .withColumn("rk", row_number().over(
-        Window.orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))))
+        Window.orderBy(
+          md5(concat(lit(s"km:$seed:"), col("vec_id").cast("string"))),
+          col("vec_id"))))
       .filter(col("rk") <= cells)
       .select((col("rk") - 1).cast("int").as("cell_id"),
         col("embedding").as("cell_emb"))
