@@ -206,9 +206,19 @@ object Bench {
     // single noise-hit pair can swing its ratio either direction — the
     // median is the honest center, max would cherry-pick, mean chases
     // outliers).
+    // deadline guard: a bad host window can stretch one pair from ~4 to
+    // 20+ minutes — rather than risk the whole bench run, stop adding
+    // pairs past the budget (always completing at least one)
+    val deadlineSec = sys.env.getOrElse("GRAFT_BENCH_DEADLINE_SEC", "1500").toLong
+    val crawlT0 = System.nanoTime()
     val pairs: Seq[((Long, Double), (Long, Double))] =
       if (skipCrawl) Seq.empty
-      else (1 to reps).map(_ => (one(nLow), one(cpus)))
+      else (1 to reps).flatMap { i =>
+        if (i > 1 && (System.nanoTime() - crawlT0) / 1e9 > deadlineSec) {
+          System.err.println(s"[bench] deadline ${deadlineSec}s reached after ${i - 1} pairs")
+          None
+        } else Some((one(nLow), one(cpus)))
+      }
     def bestOf(side: Seq[(Long, Double)]): (Long, Double) =
       if (side.isEmpty) (1L, 1.0) else side.minBy { case (p, s) => s / p }
     val (popLow, secLow) = bestOf(pairs.map(_._1))
@@ -239,6 +249,10 @@ object Bench {
     // a fast timing.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
+        // drop any persisted intermediates first: Spark's CacheManager
+        // matches canonicalized plans, so rep 2 of a query that persists
+        // (q24/q25) would otherwise silently measure a warm cache
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
