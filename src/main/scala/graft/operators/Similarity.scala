@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
  *  - cosine near-dup pairs over the corpus (embedding-based dedup).
  *
  * All vector math is `zip_with` + `aggregate` column algebra in double
- * precision (codegen'd; no UDF). Hyperplanes are Rademacher ±1 vectors
- * derived from xxhash64(plane, dim) — deterministic, seeded, and free of
- * driver-side randomness.
+ * precision (codegen'd; no UDF). Hyperplanes are Rademacher ±1 vectors —
+ * either derived per-row from xxhash64(plane, dim) ([[signBuckets]]) or
+ * materialized as an md5-derived literal matrix
+ * ([[md5PlaneMatrix]]/[[signBucketsLit]], oracle-reproducible and cheaper)
+ * — deterministic, seeded, and free of driver-side randomness either way.
  */
 object Similarity {
 
