@@ -19,12 +19,15 @@ import graft.operators.{Dedup, Similarity, TextOps}
  * decode, chain self-join, union fan-in, URL decomposition) over the
  * TPC-H-ish tables so DuckDB can verify them; q20+ are the training-data
  * pipeline operators (dedup family, text analysis, similarity search).
- * SimHash (q28) and winnowing (q31) are hash-verified end to end by
- * recomputing the full sketch in DuckDB (md5-derived / mod-2^61 hashes
- * chosen for exactly that portability). Only the recall<1-by-design ANN
- * variants (q29 sign-LSH, q30 IVF) and the binary multimodal path (q32)
- * ship without an oracle → rows-only; their semantics are covered by
- * OperatorsSpec (incl. measured recall floors vs the exact baseline).
+ * EVERY query here is hash-verified end to end — including the
+ * recall<1-by-design approximate pipelines: SimHash (q28) and winnowing
+ * (q31) recompute the full sketch in DuckDB (md5-derived / mod-2^61
+ * hashes chosen for exactly that portability); the sign-LSH paths (q27,
+ * q29) rebuild the exact md5-derived hyperplane matrix, buckets, and
+ * candidate set in SQL; q30 unrolls all 4 Lloyd iterations as CTE layers
+ * with float32-emulated centroid means; q32 rebuilds the synthetic media
+ * bytes byte-for-byte. OperatorsSpec additionally asserts measured recall
+ * floors for the approximate variants vs their exact baselines.
  */
 object SparkEntry {
 
@@ -50,21 +53,28 @@ object SparkEntry {
     }),
 
     // O5 host-dim normalization: custom Catalyst `etld1` expression
-    // (store/store.go:339-344 semantics). The fixture exercises every
-    // branch — two-level suffix, deep subdomain, case normalization, IP →
-    // NULL, bare suffix → NULL, dotless → NULL, PSL wildcard fallback —
-    // and the oracle encodes the EXPECTED output per branch (it does not
-    // re-implement etld1, so a wrong PSL fallback diverges).
+    // (store/store.go:339-344 semantics, FULL PSL rule matching). The
+    // fixture exercises every rule class — two-level suffix, deep
+    // subdomain, case normalization, IP → NULL, bare suffix → NULL,
+    // dotless → NULL, private registry (github.io), wildcard (`*.ck`),
+    // exception (`!www.ck`), three-level wildcard (`*.sch.uk`), bare
+    // wildcard match → NULL — and the oracle encodes the EXPECTED output
+    // per branch (it does not re-implement etld1, so a wrong rule
+    // precedence diverges).
     "q02_etld1_hosts" -> ((s, dir) => {
       GraftExpressions.register(s)
       val k = col("c_custkey")
-      val host = when(k % 7 === 0, concat(lit("WWW.Sub.cust"), k, lit(".co.uk")))
-        .when(k % 7 === 1, concat(lit("a.b.cust"), k, lit(".com.au")))
-        .when(k % 7 === 2, concat(lit("www.Cust"), k, lit(".COM")))
-        .when(k % 7 === 3, concat(lit("10.0."), k % 256, lit(".1")))
-        .when(k % 7 === 4, lit("co.uk"))
-        .when(k % 7 === 5, lit("localhost"))
-        .otherwise(concat(lit("cust"), k, lit(".github.io")))
+      val host = when(k % 11 === 0, concat(lit("WWW.Sub.cust"), k, lit(".co.uk")))
+        .when(k % 11 === 1, concat(lit("a.b.cust"), k, lit(".com.au")))
+        .when(k % 11 === 2, concat(lit("www.Cust"), k, lit(".COM")))
+        .when(k % 11 === 3, concat(lit("10.0."), k % 256, lit(".1")))
+        .when(k % 11 === 4, lit("co.uk"))
+        .when(k % 11 === 5, lit("localhost"))
+        .when(k % 11 === 6, concat(lit("cust"), k, lit(".github.io")))
+        .when(k % 11 === 7, concat(lit("deep.x.cust"), k, lit(".ck")))
+        .when(k % 11 === 8, lit("WWW.CK"))
+        .when(k % 11 === 9, concat(lit("b.a.cust"), k, lit(".sch.uk")))
+        .otherwise(concat(lit("cust"), k, lit(".ck")))
       t(s, dir, "customer")
         .select(col("c_custkey"),
           GraftExpressions.etld1(host).as("registrable"))
@@ -221,8 +231,13 @@ object SparkEntry {
     }),
 
     // Embedding-cosine near-dup pairs, sign-LSH blocked + exact verify.
+    // Planes are the md5-derived literal matrix (the q29 technique): per-row
+    // hyperplane hashing disappears AND the oracle rebuilds the exact
+    // blocked pipeline in SQL (full hash-verified even where recall < 1).
     "q27_embed_neardup" -> ((s, dir) => {
-      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.8)
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.8,
+        tables = 12, planesPerTable = 10,
+        planeMatrix = Some(Similarity.md5PlaneMatrix(12 * 10, 64)))
         .orderBy("a_id", "b_id")
     }),
 
@@ -303,7 +318,10 @@ object SparkEntry {
     * hinges on (a) md5-ordered init (same sample both engines), (b)
     * centroid means truncated to float32 each iteration (CAST(avg AS
     * FLOAT) = Spark's .cast("float") on the double avg), (c)
-    * deterministic argmax ties (ORDER BY d DESC, cell_id). */
+    * deterministic argmax ties (ORDER BY d DESC, cell_id), with d rounded
+    * to 12 decimals on BOTH engines — Spark's avg() partial-sum order is
+    * not bit-deterministic, so full-precision ranking could flake
+    * (ADVICE r2; mirrors Similarity.nearestCell). */
   private def q30OracleSql: String = {
     val iters = 4
     val init =
@@ -317,8 +335,8 @@ object SparkEntry {
          |  SELECT vec_id, embedding, cell_id FROM (
          |    SELECT e.vec_id, e.embedding, c.cell_id,
          |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
-         |                                        c.cell::DOUBLE[]) DESC,
+         |        ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+         |                                              c.cell::DOUBLE[]), 12) DESC,
          |                 c.cell_id) AS rk
          |    FROM embeddings e, c${i - 1} c) WHERE rk = 1),
          |n$i AS (
@@ -337,16 +355,16 @@ object SparkEntry {
          |  SELECT vec_id, embedding, cell_id FROM (
          |    SELECT e.vec_id, e.embedding, c.cell_id,
          |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
-         |                                        c.cell::DOUBLE[]) DESC,
+         |        ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+         |                                              c.cell::DOUBLE[]), 12) DESC,
          |                 c.cell_id) AS rk
          |    FROM embeddings e, c$iters c) WHERE rk = 1),
          |probes AS (
          |  SELECT q_id, q_emb, cell_id FROM (
          |    SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.cell_id,
          |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
-         |                                        c.cell::DOUBLE[]) DESC,
+         |        ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+         |                                              c.cell::DOUBLE[]), 12) DESC,
          |                 c.cell_id) AS rk
          |    FROM embeddings e, c$iters c WHERE e.vec_id < 20) WHERE rk <= 4),
          |rer AS (
@@ -383,14 +401,18 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q02_etld1_hosts" ->
       """SELECT c_custkey,
-        |  CASE c_custkey % 7
+        |  CASE c_custkey % 11
         |    WHEN 0 THEN 'cust' || c_custkey || '.co.uk'
         |    WHEN 1 THEN 'cust' || c_custkey || '.com.au'
         |    WHEN 2 THEN 'cust' || c_custkey || '.com'
         |    WHEN 3 THEN NULL
         |    WHEN 4 THEN NULL
         |    WHEN 5 THEN NULL
-        |    WHEN 6 THEN 'github.io'
+        |    WHEN 6 THEN 'cust' || c_custkey || '.github.io'
+        |    WHEN 7 THEN 'x.cust' || c_custkey || '.ck'
+        |    WHEN 8 THEN 'www.ck'
+        |    WHEN 9 THEN 'a.cust' || c_custkey || '.sch.uk'
+        |    WHEN 10 THEN NULL
         |  END AS registrable
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "q03_frontier_antijoin" ->
@@ -513,14 +535,39 @@ object SparkEntry {
         |  FROM embeddings q, embeddings n
         |  WHERE q.vec_id < 20 AND q.vec_id <> n.vec_id)
         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    // the exact sign-LSH blocked pipeline rebuilt in SQL (q29 technique):
+    // 120 md5-derived ±1 planes in 12 tables of 10, candidate pairs from
+    // bucket equi-joins, exact cosine verify at the threshold — verifies
+    // the BLOCKING too, not just the final filter (recall < 1 by design,
+    // so a brute-force oracle would only coincidentally match)
     "q27_embed_neardup" ->
-      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |  round(list_cosine_similarity(a.embedding::DOUBLE[],
-        |                               b.embedding::DOUBLE[]), 6) AS cos
-        |FROM embeddings a, embeddings b
-        |WHERE a.vec_id < b.vec_id
-        |  AND round(list_cosine_similarity(a.embedding::DOUBLE[],
-        |                                   b.embedding::DOUBLE[]), 6) >= 0.8
+      """WITH planes AS (
+        |  SELECT p,
+        |    [CASE WHEN (strpos('0123456789abcdef',
+        |                       substr(md5('plane:' || p || ':' || j), 2, 1)) - 1) % 2 = 0
+        |          THEN 1.0 ELSE -1.0 END for j in range(0, 64)] AS w
+        |  FROM range(0, 120) t(p)),
+        |proj AS (
+        |  SELECT e.vec_id, pl.p,
+        |    list_reduce(list_transform(range(1, 65),
+        |      i -> e.embedding[i]::DOUBLE * pl.w[i]), (a, b) -> a + b) AS pr
+        |  FROM embeddings e, planes pl),
+        |vb AS (
+        |  SELECT vec_id, p // 10 AS table_idx,
+        |    sum(CASE WHEN pr > 0 THEN 1::BIGINT << (p % 10) ELSE 0 END)::BIGINT AS bucket
+        |  FROM proj GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM vb a JOIN vb b USING (table_idx, bucket)
+        |  WHERE a.vec_id < b.vec_id)
+        |SELECT c.a_id, c.b_id,
+        |  round(list_cosine_similarity(ea.embedding::DOUBLE[],
+        |                               eb.embedding::DOUBLE[]), 6) AS cos
+        |FROM cand c
+        |JOIN embeddings ea ON ea.vec_id = c.a_id
+        |JOIN embeddings eb ON eb.vec_id = c.b_id
+        |WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],
+        |                                   eb.embedding::DOUBLE[]), 6) >= 0.8
         |ORDER BY a_id, b_id""".stripMargin,
     // full 60-bit SimHash recomputed in SQL (md5-derived token hash — the
     // reason Dedup.md5Hash60 exists), then brute-force Hamming pairs: the
@@ -610,9 +657,19 @@ object SparkEntry {
     // the synthetic media BYTES are md5-derived (Multimodal.mediaFromDocs)
     // precisely so this oracle rebuilds every byte in SQL: header by seed
     // parity, body block j = raw digest bytes of md5(seedhex||':'||j); then
-    // the 64-bin histogram, float32-emulated L2 norm, and the same rollup
-    "q32_media_features" ->
-      """WITH m AS (
+    // the 64-bin histogram, float32-emulated L2 norm, and the same rollup.
+    // Block count and avg_bytes are INTERPOLATED from the same constants
+    // mediaFromDocs uses (ADVICE r2: the round-2 literal 16/264 silently
+    // coupled to the default and broke if it moved).
+    "q32_media_features" -> q32OracleSql)
+
+  private def q32OracleSql: String = {
+    import graft.operators.Multimodal.{defaultBytesPerDoc, headerBytes}
+    require(defaultBytesPerDoc % 16 == 0,
+      "q32 oracle unrolls whole 16-byte md5 blocks")
+    val numBlocks = defaultBytesPerDoc / 16
+    val avgBytes = defaultBytesPerDoc + headerBytes
+    s"""WITH m AS (
         |  SELECT doc_id::VARCHAR AS id,
         |         md5(doc_id::VARCHAR || '|' || substr(text, 1, 64)) AS seedhex
         |  FROM documents),
@@ -622,7 +679,7 @@ object SparkEntry {
         |  FROM m),
         |blocks AS (
         |  SELECT id, is_png, md5(seedhex || ':' || j::VARCHAR) AS bh
-        |  FROM s, range(0, 16) r(j)),
+        |  FROM s, range(0, $numBlocks) r(j)),
         |bodybytes AS (
         |  SELECT id, is_png,
         |    (strpos('0123456789abcdef', bh[2*i-1]) - 1) * 16 +
@@ -649,9 +706,10 @@ object SparkEntry {
         |SELECT CASE WHEN is_png THEN 'image' ELSE 'audio' END AS kind,
         |       CASE WHEN is_png THEN 'image/png' ELSE 'audio/wave' END AS sniffed_mime,
         |       count(*) AS cnt,
-        |       round(avg(264.0), 2) AS avg_bytes,
+        |       round(avg($avgBytes.0), 2) AS avg_bytes,
         |       round(avg(f0), 6) AS avg_f0
         |FROM perdoc
         |GROUP BY 1, 2
-        |ORDER BY kind""".stripMargin)
+        |ORDER BY kind""".stripMargin
+  }
 }

@@ -329,8 +329,9 @@ object Frontier {
 
   /** Mark popped URLs visited at `round` (urlStore.Visit,
     * store/url.go:222-249). Rows are retained — the seen-set must keep
-    * them (resume + dedup correctness). Implemented as a co-partitioned
-    * left join on (host_bucket, url). */
+    * them (resume + dedup correctness). Standalone form: a plain left
+    * join on `url` (the hot path never calls this — [[mergeRound]] fuses
+    * the visit marks into its single bucket-local aggregation). */
   def markVisited(frontier: DataFrame, popped: DataFrame, round: Long): DataFrame = {
     val marks = popped.select(col("url"), lit(round).as("new_visit"))
     frontier

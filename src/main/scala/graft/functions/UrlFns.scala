@@ -17,15 +17,28 @@ package graft.functions
  */
 object UrlFns {
 
-  /** Embedded subset of the public ICANN suffix list. Two-level entries
-    * first-class; everything else falls back to the last label (the PSL
-    * "*" default rule). */
-  private val twoLevelSuffixes: java.util.HashSet[String] = {
+  /**
+   * Embedded snapshot of the public suffix list with FULL rule semantics
+   * (publicsuffix.org/list spec, the same algorithm
+   * golang.org/x/net/publicsuffix implements for the reference at
+   * store/store.go:339-344): exact rules of any depth, wildcard rules
+   * (`*.ck` — any single label in that position is itself a suffix),
+   * exception rules (`!www.ck` — carves a registrable domain out of a
+   * wildcard), private-section registries (`github.io` — round 2's
+   * two-level-only fallback wrongly made `cust.github.io` collapse to
+   * `github.io`), and the implicit `*` default (unlisted TLD → last
+   * label). The list content is a SUBSET (offline container — no
+   * download), but the MATCHER is rule-complete: swapping in the full
+   * effective_tld_names.dat is a data change only.
+   */
+  private val exactRules: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String]()
     Seq(
       "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk", "plc.uk",
       "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
       "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+      // three-level ICANN entries (state education registries)
+      "act.edu.au", "nsw.edu.au", "vic.edu.au",
       "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz",
       "com.br", "net.br", "org.br", "gov.br",
       "co.in", "net.in", "org.in", "gen.in", "firm.in",
@@ -36,8 +49,32 @@ object UrlFns {
       "co.za", "org.za", "gov.za", "web.za",
       "co.il", "org.il", "ac.il",
       "com.pl", "net.pl", "org.pl",
-      "com.ru", "net.ru", "org.ru"
+      "com.ru", "net.ru", "org.ru",
+      // private-section registries (the PSL's PRIVATE DOMAINS block)
+      "github.io", "githubusercontent.com", "gitlab.io",
+      "blogspot.com", "appspot.com", "herokuapp.com",
+      "netlify.app", "vercel.app", "firebaseapp.com",
+      "pages.dev", "workers.dev"
     ).foreach(s.add)
+    s
+  }
+
+  /** Wildcard rule BASES: `*.ck` is stored as "ck" — the `*` matches
+    * exactly ONE label immediately left of the base. */
+  private val wildcardBases: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("bd", "ck", "er", "fk", "jm", "kh", "mm", "np", "pg", "ye", "zw",
+      "sch.uk" // three-level wildcard: every school is its own registry
+    ).foreach(s.add)
+    s
+  }
+
+  /** Exception rules: `!www.ck` stored as "www.ck" — the named domain is
+    * REGISTRABLE despite a covering wildcard; its public suffix is the
+    * rule minus its leftmost label. */
+  private val exceptionRules: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("www.ck").foreach(s.add)
     s
   }
 
@@ -56,16 +93,47 @@ object UrlFns {
     allNumericDots && host.nonEmpty
   }
 
-  /** Public suffix of `host` under the embedded PSL subset, or null when
-    * host is empty / an IP / has no dot at all. */
+  /**
+   * Public suffix of `host` under the embedded PSL snapshot (full rule
+   * semantics — see [[exactRules]]), or null when host is empty / an IP /
+   * has no dot at all. Algorithm per the publicsuffix.org spec: an
+   * exception match wins outright (suffix = rule minus its leftmost
+   * label); otherwise the longest matching exact-or-wildcard rule
+   * prevails; otherwise the implicit `*` rule (last label).
+   */
   def publicSuffix(host0: String): String = {
     if (host0 == null) return null
     val host = normalizeDomain(host0)
     if (host.isEmpty || isIpLike(host)) return null
     val labels = host.split('.')
     if (labels.length < 2 || labels.exists(_.isEmpty)) return null
-    val last2 = labels(labels.length - 2) + "." + labels(labels.length - 1)
-    if (twoLevelSuffixes.contains(last2)) last2 else labels(labels.length - 1)
+    // walk suffixes right-to-left ONCE, building each candidate string
+    // from the previous (O(len) total, no quadratic join)
+    var best = 1 // the implicit "*" default rule
+    var suffix = labels(labels.length - 1)
+    var i = labels.length - 1
+    while (i >= 0) {
+      val ruleLen = labels.length - i
+      if (exceptionRules.contains(suffix)) {
+        // exception: public suffix = the exception rule minus its leftmost
+        // label (always non-empty: an exception refines a wildcard base)
+        return suffix.substring(suffix.indexOf('.') + 1)
+      }
+      if (exactRules.contains(suffix) && ruleLen > best) best = ruleLen
+      // `*.base` matches one label immediately left of base — i.e. the
+      // suffix one LONGER than the base is public
+      if (i > 0 && wildcardBases.contains(suffix) && ruleLen + 1 > best)
+        best = ruleLen + 1
+      i -= 1
+      if (i >= 0) suffix = labels(i) + "." + suffix
+    }
+    var out = labels(labels.length - 1)
+    var j = labels.length - 2
+    while (j > labels.length - 1 - best) {
+      out = labels(j) + "." + out
+      j -= 1
+    }
+    out
   }
 
   /** eTLD+1 (registrable domain): one label more than the public suffix.

@@ -23,6 +23,13 @@ import org.apache.spark.sql.functions._
  */
 object Multimodal {
 
+  /** Synthetic-media sizing shared with the q32 oracle (SparkEntry
+    * interpolates BOTH the md5-block count and avg_bytes from these — the
+    * round-2 oracle hardcoded 264/16 with no link to this default). */
+  val defaultBytesPerDoc: Int = 256
+  /** Magic-byte header length (PNG and RIFF stubs are both 8 bytes). */
+  val headerBytes: Int = 8
+
   case class MediaMeta(width: Int, height: Int, duration_ms: Long, sample_rate: Int)
   case class MediaRow(media_id: String, kind: String, bytes: Array[Byte], meta: MediaMeta)
   case class MediaFeatures(media_id: String, kind: String, features: Array[Float])
@@ -36,7 +43,8 @@ object Multimodal {
     * the driver's DuckDB oracle recomputes the exact same bytes in SQL
     * (the q28/q31 technique): `seedhex = md5(doc_id || '|' || text[:64])`,
     * body block j = the raw 16 digest bytes of `md5(seedhex || ':' || j)`. */
-  def mediaFromDocs(docs: DataFrame, bytesPerDoc: Int = 256): Dataset[MediaRow] = {
+  def mediaFromDocs(docs: DataFrame,
+      bytesPerDoc: Int = Multimodal.defaultBytesPerDoc): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id").cast("string"), col("text")).as[(String, String)]

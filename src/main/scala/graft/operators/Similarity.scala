@@ -130,12 +130,19 @@ object Similarity {
   }
 
   /** Embedding-cosine near-dup pairs (cos ≥ threshold) — sign-LSH blocked,
-    * exact verify; the embedding flavor of [[Dedup]]. */
+    * exact verify; the embedding flavor of [[Dedup]]. `planeMatrix` (e.g.
+    * [[md5PlaneMatrix]]) swaps the per-row xxhash64 planes for a literal
+    * matrix — same trade as [[annTopK]]'s: the xxhash64 form pays
+    * tables×planes×dims hash evals PER ROW, the literal rides the plan
+    * once (measured 8.1 s → ~2 s at sf0.1) and is oracle-reproducible. */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
-      tables: Int = 12, planesPerTable: Int = 10): DataFrame = {
+      tables: Int = 12, planesPerTable: Int = 10,
+      planeMatrix: Option[Seq[Seq[Double]]] = None): DataFrame = {
     val b = corpus.select(col("vec_id"), col("embedding"),
-      posexplode(signBuckets(col("embedding"), tables, planesPerTable))
-        .as(Seq("table_idx", "bucket")))
+      posexplode(planeMatrix match {
+        case Some(m) => signBucketsLit(col("embedding"), m, planesPerTable)
+        case None => signBuckets(col("embedding"), tables, planesPerTable)
+      }).as(Seq("table_idx", "bucket")))
     val l = b.select(col("table_idx"), col("bucket"),
       col("vec_id").as("a_id"), col("embedding").as("a_emb"))
     val r = b.select(col("table_idx"), col("bucket"),
@@ -149,37 +156,86 @@ object Similarity {
   }
 
   /**
+   * Deterministic hash-order init sample for [[kmeansCentroids]], exposed
+   * for plan tests: `orderBy(md5key, vec_id).limit(cells)` plans as a
+   * distributed TakeOrderedAndProject (every partition keeps its local
+   * top-`cells`, the driver merges k rows) — the round-2 form was a
+   * `row_number` Window with NO partition spec, which funnels the whole
+   * corpus through ONE task (a driver-adjacent bottleneck at 100 TB).
+   * cell_id = rank in the same (md5key, vec_id) total order, recovered
+   * WITHOUT any window: the k winners collapse into one sorted array and
+   * posexplode's position is the rank. Selects the identical top-`cells`
+   * rows under the identical order, so the q30 oracle is unchanged.
+   */
+  def kmeansInit(corpus: DataFrame, cells: Int, seed: Long): DataFrame =
+    corpus
+      .select(col("vec_id"), col("embedding"),
+        md5(concat(lit(s"km:$seed:"), col("vec_id").cast("string"))).as("kk"))
+      .orderBy(col("kk"), col("vec_id"))
+      .limit(cells)
+      .agg(array_sort(collect_list(struct(col("kk"), col("vec_id"),
+        col("embedding")))).as("a"))
+      .select(posexplode(col("a")).as(Seq("cell_id", "s")))
+      .select(col("cell_id").cast("int").as("cell_id"),
+        col("s").getField("embedding").as("cell_emb"))
+
+  /**
+   * Nearest-centroid assignment as ONE map-side-combinable aggregate: the
+   * broadcast cross join emits corpus×cells rows, but each vec_id's group
+   * completes inside its partition, so the partial HashAggregate collapses
+   * them BEFORE the exchange — one slim row per vector crosses the wire.
+   * The round-2 `row_number` Window shuffled all corpus×cells rows
+   * (embeddings included) just to pick a max. Argmax = `max` over ONE
+   * packed LONG — `round(d·10¹²)·2²¹ − cell_id` — because a fixed-width
+   * buffer is what keeps the agg a HashAggregate (a `max(struct)` buffer
+   * is var-width and silently planned SortAggregate, the [[graft.frontier
+   * .Frontier.packPrio]] lesson); lexicographically that is best-d, ties
+   * to the LOWEST cell_id — exactly the window's `ORDER BY d DESC,
+   * cell_id` rank-1 row. The embedding rides as a grouping KEY (var-width
+   * keys hash fine; only buffers must be fixed-width).
+   * `d` is rounded to 12 decimals on BOTH engines of the correctness gate
+   * (Spark's avg() partial-sum order is not bit-deterministic, so ranking
+   * full-precision doubles could flake across runs/engines — ADVICE r2);
+   * the long-scaling afterwards is Spark-only and exact: distinct rounded
+   * values differ by ≥10⁻¹², i.e. ≥1 after scaling, while the double
+   * product's error is ≤~10⁻⁴ — order-preserving with matched ties.
+   * Bounds: |d|≤1 → |round(d·10¹²)·2²¹| < 2.2·10¹⁸ < Long.Max; cell_id
+   * < 2²¹ asserted by [[kmeansCentroids]] callers (cells ≤ 2M).
+   */
+  private def nearestCell(points: DataFrame, centroids: DataFrame): DataFrame = {
+    val K = 1L << 21
+    points.crossJoin(broadcast(centroids))
+      .withColumn("d", round(cosine(col("embedding"), col("cell_emb")), 12))
+      .withColumn("mk",
+        round(col("d") * lit(1e12)).cast("long") * lit(K) - col("cell_id"))
+      .groupBy(col("vec_id"), col("embedding"))
+      .agg(max(col("mk")).as("mk"))
+      .select(col("vec_id"), col("embedding"),
+        pmod(-col("mk"), lit(K)).cast("int").as("cell_id"))
+  }
+
+  /**
    * Seeded Lloyd's k-means over the embedding column — REAL centroids for
    * the IVF index (round 1 shipped a lowest-id stand-in). Everything stays
-   * distributed DataFrame algebra: init = deterministic hash-order sample;
-   * each iteration is one broadcast-assignment join + one element-wise
-   * mean (posexplode → per-(cell, dim) avg → re-assembled array). No
-   * driver-side vectors: centroids live in a k-row DataFrame, broadcast by
-   * Catalyst at the join. Emptied cells keep their previous centroid.
-   * `localCheckpoint` truncates the iteration lineage (standard iterative-
-   * algorithm hygiene at scale).
+   * distributed DataFrame algebra: init = deterministic hash-order sample
+   * ([[kmeansInit]] — distributed top-k, no global window); each iteration
+   * is one broadcast-assignment aggregate ([[nearestCell]]) + one
+   * element-wise mean (posexplode → per-(cell, dim) avg → re-assembled
+   * array). No driver-side vectors: centroids live in a k-row DataFrame,
+   * broadcast by Catalyst at the join. Emptied cells keep their previous
+   * centroid. `localCheckpoint` truncates the iteration lineage (standard
+   * iterative-algorithm hygiene at scale).
    */
   def kmeansCentroids(corpus: DataFrame, cells: Int, iters: Int = 5,
       seed: Long = 42L): DataFrame = {
+    require(cells > 0 && cells < (1 << 21), "cell_id must fit nearestCell's packed argmax")
     // init order by md5 (not xxhash64): deterministic either way, but md5
     // is a public cross-engine hash, so the DuckDB oracle replays the SAME
     // init sample and every unrolled Lloyd iteration after it (q30)
-    var centroids = corpus
-      .withColumn("rk", row_number().over(
-        Window.orderBy(
-          md5(concat(lit(s"km:$seed:"), col("vec_id").cast("string"))),
-          col("vec_id"))))
-      .filter(col("rk") <= cells)
-      .select((col("rk") - 1).cast("int").as("cell_id"),
-        col("embedding").as("cell_emb"))
-      .localCheckpoint(true)
+    var centroids = kmeansInit(corpus, cells, seed).localCheckpoint(true)
     var i = 0
     while (i < iters) {
-      val assigned = corpus.crossJoin(broadcast(centroids))
-        .withColumn("d", cosine(col("embedding"), col("cell_emb")))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("d").desc, col("cell_id"))))
-        .filter(col("rk") === 1)
+      val assigned = nearestCell(corpus, centroids)
         .select(col("cell_id"), col("embedding"))
       val updated = assigned
         .select(col("cell_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -197,21 +253,20 @@ object Similarity {
 
   /**
    * IVF coarse index: assign every vector to its nearest k-means centroid
-   * (broadcast join — the corpus streams, nothing wide shuffles).
+   * ([[nearestCell]] — broadcast join + map-side-combined argmax; the
+   * corpus streams, one slim row per vector shuffles).
    * Query: probe the `nprobe` nearest cells only, exact re-rank inside.
    */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame =
-    corpus.crossJoin(broadcast(centroids))
-      .withColumn("d", cosine(col("embedding"), col("cell_emb")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("d").desc, col("cell_id"))))
-      .filter(col("rk") === 1)
+    nearestCell(corpus, centroids)
       .select(col("vec_id"), col("embedding"), col("cell_id"))
 
   def ivfTopK(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
       k: Int, nprobe: Int): DataFrame = {
+    // top-nprobe needs a rank, not an argmax — but the window partitions by
+    // vec_id over the QUERY side only (small by contract), never the corpus
     val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("d", cosine(col("embedding"), col("cell_emb")))
+      .withColumn("d", round(cosine(col("embedding"), col("cell_emb")), 12))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("d").desc, col("cell_id"))))
       .filter(col("rk") <= nprobe)

@@ -70,7 +70,10 @@ class Crawler(
   def addSeedCandidates(raw: DataFrame): Long = {
     val cands = Frontier.normalizeCandidates(raw, cfg.numBuckets, cfg.respectRobots)
     val existing = frontierTable.read(spark)
-    val fresh = Frontier.newOnly(existing, cands)
+    // manifest row count as the cardinality hint — newOnly would otherwise
+    // pay a count() scan of the whole table on every re-seed
+    val fresh = Frontier.newOnly(existing, cands,
+      expectedRows = frontierTable.currentSnapshot().map(_.rows).getOrElse(0L))
     val merged = existing.unionByName(fresh)
     val seedRound = math.max(lastRound, 0)
     val rows = frontierTable.commit(merged, seedRound)

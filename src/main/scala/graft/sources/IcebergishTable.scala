@@ -142,6 +142,7 @@ class IcebergishTable(val root: String, schema: StructType,
     val written: Map[Int, BucketEntry] = timed("footers")(
       listBucketDirs(s"$root/$dataDir").par(16) { case (bucket, dir) =>
         var rows = 0L
+        var files = 0
         Files.list(dir).iterator().asScala
           .filter(_.getFileName.toString.endsWith(".parquet"))
           .foreach { f =>
@@ -149,7 +150,19 @@ class IcebergishTable(val root: String, schema: StructType,
               System.err.println(s"[icebergish] WARN bucket file $f exceeds " +
                 s"maxPartitionBytes=$maxSplit — raise numBuckets (streaming-pop invariant)")
             rows += parquetRowCount(conf, f.toString)
+            files += 1
           }
+        // preClustered is a caller CLAIM the commit verifies (ADVICE r2):
+        // a truly bucket-hash-partitioned input puts each bucket wholly in
+        // one write task → exactly one file per bucket dir. Two files mean
+        // the bucket's rows spanned tasks — its (host, prio) layout is torn
+        // across files and popSortedFifo's per-partition sortedness check
+        // could NOT catch it (each fragment is sorted); it would silently
+        // over-pop per-host budgets. Fail the commit loudly instead.
+        if (preClustered && files > 1)
+          throw new IllegalStateException(
+            s"commit(preClustered=true) but bucket $bucket wrote $files files — " +
+              s"input was not hash-partitioned by $bucketCol")
         bucket -> BucketEntry(dataDir, rows)
       }.toMap)
 

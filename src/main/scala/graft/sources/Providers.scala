@@ -126,7 +126,14 @@ object Providers {
         (_: Int, rows: Iterator[(Long, String)],
          state: org.apache.spark.sql.streaming.GroupState[Long]) =>
           val hwm = state.getOption.getOrElse(0L)
+          // dedup WITHIN the batch too (keep the first url per id): two
+          // snapshot files picked up in the same micro-batch can overlap,
+          // and both occurrences pass the `> hwm` filter (ADVICE r2) —
+          // between batches the watermark itself is the dedup
           val fresh = rows.filter(_._1 > hwm).toVector.sortBy(_._1)
+            .foldLeft(Vector.empty[(Long, String)]) { (acc, r) =>
+              if (acc.nonEmpty && acc.last._1 == r._1) acc else acc :+ r
+            }
           if (fresh.nonEmpty) state.update(fresh.last._1)
           fresh.iterator
       }

@@ -123,6 +123,28 @@ class PlanSpec extends AnyFunSuite {
     popped.foreach(u => assert(out(u)._3 == 3L, s"visit mark lost for $u"))
   }
 
+  test("q30 IVF: no global Window anywhere — init is a distributed top-k, argmax is an aggregate") {
+    // round-2 regressions this gates (VERDICT r2 #3/#4): the k-means init
+    // was row_number over a Window with NO partition spec (whole corpus
+    // through ONE task) and assign/probe shuffled corpus×cells rows
+    // through per-vec windows. Init must now plan TakeOrderedAndProject;
+    // the corpus-side argmax must plan HashAggregate, not Window.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val initPlan = planOf(Similarity.kmeansInit(emb, 8, 42L))
+    assert(initPlan.contains("TakeOrderedAndProject"),
+      s"kmeans init is not a distributed top-k:\n$initPlan")
+    assert(!initPlan.contains("Window"), s"kmeans init plans a Window:\n$initPlan")
+    val centroids = Similarity.kmeansCentroids(emb, cells = 8, iters = 1)
+    val assignPlan = planOf(Similarity.ivfAssign(emb, centroids))
+    assert(!assignPlan.contains("Window"),
+      s"ivfAssign ranks via Window over corpus×cells:\n$assignPlan")
+    assert(assignPlan.contains("HashAggregate"),
+      s"ivfAssign argmax is not an aggregate:\n$assignPlan")
+    assert(assignPlan.contains("BroadcastNestedLoopJoin") ||
+      assignPlan.contains("BroadcastExchange"),
+      s"centroids not broadcast:\n$assignPlan")
+  }
+
   test("near-dup verify is shuffle-based: no driver collect of per-doc data in operators/") {
     // source-level gate (round-1 verdict #2): the dedup/similarity family
     // must never materialize per-document payloads on the driver

@@ -28,6 +28,32 @@ class UrlFnsSpec extends AnyFunSuite {
     assert(UrlFns.etld1("h7.test") == "h7.test")
   }
 
+  test("PSL full rule semantics: wildcard, exception, multi-level, private registry") {
+    // wildcard *.ck: any single label left of the base is itself a suffix
+    assert(UrlFns.publicSuffix("anything.ck") == "anything.ck")
+    assert(UrlFns.etld1("anything.ck") == null) // host IS a (wildcard) suffix
+    assert(UrlFns.etld1("x.anything.ck") == "x.anything.ck")
+    assert(UrlFns.etld1("deep.x.anything.ck") == "x.anything.ck")
+    // exception !www.ck wins over the wildcard: www.ck is registrable
+    assert(UrlFns.publicSuffix("www.ck") == "ck")
+    assert(UrlFns.etld1("www.ck") == "www.ck")
+    assert(UrlFns.etld1("sub.www.ck") == "www.ck")
+    assert(UrlFns.etld1("WWW.CK") == "www.ck") // case-normalized first
+    // three-level wildcard *.sch.uk
+    assert(UrlFns.publicSuffix("myschool.sch.uk") == "myschool.sch.uk")
+    assert(UrlFns.etld1("www.myschool.sch.uk") == "www.myschool.sch.uk")
+    // three-level exact rule act.edu.au (longest match beats com.au-style)
+    assert(UrlFns.publicSuffix("x.act.edu.au") == "act.edu.au")
+    assert(UrlFns.etld1("www.x.act.edu.au") == "x.act.edu.au")
+    // but edu.au itself still prevails where no 3-level rule matches
+    assert(UrlFns.etld1("www.x.edu.au") == "x.edu.au")
+    // private-section registry: every user site is its own registrable
+    assert(UrlFns.publicSuffix("cust5.github.io") == "github.io")
+    assert(UrlFns.etld1("cust5.github.io") == "cust5.github.io")
+    assert(UrlFns.etld1("www.cust5.github.io") == "cust5.github.io")
+    assert(UrlFns.etld1("github.io") == null)
+  }
+
   test("resolveUrl: reference keep-filter + resolution (parsing.go:46,78-86)") {
     assert(UrlFns.resolveUrl("https://test.com", "/search") == "https://test.com/search")
     assert(UrlFns.resolveUrl("https://test.com/deep/page", "/x") == "https://test.com/x")
