@@ -87,11 +87,22 @@ object Bench {
     s
   }
 
+  /** One crawl-bench measurement at one parallelism level.
+    * @param popped  total URLs popped over the measured rounds
+    * @param sec     best-rate-normalized seconds (popped / best round rate)
+    * @param rounds  the RAW per-round (popped, wall sec) samples — emitted
+    *   in the JSON so downstream readers can recompute median/mean instead
+    *   of trusting the best-of estimator (ADVICE r2) */
+  case class CrawlSample(popped: Long, sec: Double, rounds: Seq[(Long, Double)])
+
   /** One crawl-throughput measurement: seed `seedCount` URLs over the
-    * synthetic web, run `rounds` fetch rounds, return (urlsProcessed, sec).
-    * Identical input at every parallelism level: the seed frame and the
-    * fetch simulator are deterministic functions of (seed, id). */
-  def crawlBench(cores: Int, seedCount: Long, rounds: Int): (Long, Double) = {
+    * synthetic web, run `rounds` fetch rounds. Identical input at every
+    * parallelism level: the seed frame and the fetch simulator are
+    * deterministic functions of (seed, id).
+    * `GRAFT_BENCH_POLITENESS` (tokens/round/host, 0=off) runs the rounds
+    * with the per-host token bucket active — the reference's steady state
+    * is always politeness-gated, so BENCH.md reports a gated row too. */
+  def crawlBench(cores: Int, seedCount: Long, rounds: Int): CrawlSample = {
     val spark = session(cores, shuffleZstd = true)
     try {
       val benchRoot = java.nio.file.Paths.get("/dev/shm/graft-bench")
@@ -115,9 +126,15 @@ object Bench {
       // heap buffer — at 32+ concurrent writers it rivals the young gen and
       // showed up as GC/memory-commit stalls (this VM faults fresh pages
       // through the hypervisor at ~200 MB/s — measured via AlwaysPreTouch)
+      val politeness = sys.env.getOrElse("GRAFT_BENCH_POLITENESS", "0").toDouble
+      // saltFactor 0: per-host budget (100) bounds skew, so the fetch runs
+      // in place on the bucket-clustered pop output — the salt shuffle's
+      // ~140 MB/round of shuffle bytes was pure fixed cost here, and fixed
+      // costs are exactly what the 4N side pays proportionally more for
       val cfg = CrawlConfig(numBuckets = 128, perHostBudget = 100,
-        perBucketBudget = 40000, sampler = "fifo", saltFactor = 8,
-        storeFiles = false, parquetBlockBytes = 16L * 1024 * 1024)
+        perBucketBudget = 40000, sampler = "fifo", saltFactor = 0,
+        storeFiles = false, parquetBlockBytes = 16L * 1024 * 1024,
+        politenessRate = politeness, politenessBurst = math.max(1.0, politeness))
       val crawler = new Crawler(spark, work, sim, cfg)
       val seeds = spark.range(seedCount).select(
         concat(lit("http://h"),
@@ -145,7 +162,7 @@ object Bench {
       val best = rates.map { case (p, s) => p / s }.max
       val totalPopped = rates.map(_._1).sum
       // report best-rate-normalized seconds so (urls, sec) stay consistent
-      (totalPopped, totalPopped / best)
+      CrawlSample(totalPopped, totalPopped / best, rates)
     } finally spark.stop()
   }
 
@@ -197,11 +214,11 @@ object Bench {
       crawlBench(cpus, 100000, 1)
       deleteRecursively(new java.io.File("/dev/shm/graft-spark-local"))
     }
-    def one(cores: Int): (Long, Double) = {
+    def one(cores: Int): CrawlSample = {
       val r = crawlBench(cores, seedCount, rounds)
       deleteRecursively(new java.io.File("/dev/shm/graft-spark-local"))
-      System.err.println(s"[bench] cores=$cores urls=${r._1} sec=${r._2} " +
-        s"rate=${r._1 / r._2}")
+      System.err.println(s"[bench] cores=$cores urls=${r.popped} sec=${r.sec} " +
+        s"rate=${r.popped / r.sec}")
       r
     }
     // reps are PAIRS (N immediately followed by 4N): host capacity drifts
@@ -217,7 +234,7 @@ object Bench {
     // pairs past the budget (always completing at least one)
     val deadlineSec = sys.env.getOrElse("GRAFT_BENCH_DEADLINE_SEC", "1500").toLong
     val crawlT0 = System.nanoTime()
-    val pairs: Seq[((Long, Double), (Long, Double))] =
+    val pairs: Seq[(CrawlSample, CrawlSample)] =
       if (skipCrawl) Seq.empty
       else (1 to reps).flatMap { i =>
         if (i > 1 && (System.nanoTime() - crawlT0) / 1e9 > deadlineSec) {
@@ -225,10 +242,17 @@ object Bench {
           None
         } else Some((one(nLow), one(cpus)))
       }
-    def bestOf(side: Seq[(Long, Double)]): (Long, Double) =
-      if (side.isEmpty) (1L, 1.0) else side.minBy { case (p, s) => s / p }
+    def bestOf(side: Seq[CrawlSample]): (Long, Double) =
+      if (side.isEmpty) (1L, 1.0)
+      else { val b = side.minBy(r => r.sec / r.popped); (b.popped, b.sec) }
     val (popLow, secLow) = bestOf(pairs.map(_._1))
     val (popHigh, secHigh) = bestOf(pairs.map(_._2))
+    // raw per-round (popped, wall-sec) samples per rep — so readers can
+    // recompute any estimator (median/mean/worst) from the record instead
+    // of trusting the best-of normalization (ADVICE r2)
+    def rawJson(side: Seq[CrawlSample]): String =
+      side.map(_.rounds.map { case (p, s) => s"[$p,$s]" }
+        .mkString("[", ",", "]")).mkString("[", ",", "]")
     // hardware envelope at the same two thread counts (best of 2)
     cpuCeiling(cpus, 50000) // warm
     val hwLow = (1 to 2).map(_ => cpuCeiling(nLow)).max
@@ -236,8 +260,8 @@ object Bench {
     val hwEff = hwHigh / (hwLow * (cpus.toDouble / nLow))
     val thrLow = popLow / secLow
     val thrHigh = popHigh / secHigh
-    val pairEffs = pairs.map { case ((pL, sL), (pH, sH)) =>
-      (pH / sH) / ((pL / sL) * (cpus.toDouble / nLow))
+    val pairEffs = pairs.map { case (lo, hi) =>
+      (hi.popped / hi.sec) / ((lo.popped / lo.sec) * (cpus.toDouble / nLow))
     }.sorted
     val eff =
       if (pairEffs.isEmpty) 0.0
@@ -284,7 +308,9 @@ object Bench {
         s""""pair_efficiencies":${pairEffs.mkString("[", ",", "]")},""" +
         s""""scaling_efficiency_bestof":$effBestOf,""" +
         s""""hw_ceiling_efficiency":$hwEff,""" +
-        s""""efficiency_vs_hw_ceiling":${eff / hwEff}}"""
+        s""""efficiency_vs_hw_ceiling":${eff / hwEff},""" +
+        s""""raw_rounds_n":${rawJson(pairs.map(_._1))},""" +
+        s""""raw_rounds_n4":${rawJson(pairs.map(_._2))}}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""sf":"$sfDir","crawl":$crawlJson}""")
     spark.stop()

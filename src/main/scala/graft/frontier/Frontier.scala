@@ -299,26 +299,31 @@ object Frontier {
    * per-round cost O(touched data), the real MERGE INTO shape.
    */
   def mergeRound(frontier: DataFrame, cands: DataFrame, popped: DataFrame,
-      round: Long): DataFrame = {
-    // `host` is a pure function of url (url_host, the same expression
-    // normalizeCandidates derived it with) — DON'T ship it through the
-    // exchange: at ~12 B of a ~60 B row that's ~20% of the round's shuffle
-    // bytes (which cost fixed ~200 MB/s kernel time on this VM, and
-    // network at the 10^10 design point). Recomputed post-agg, codegen'd.
+      round: Long, numBuckets: Int): DataFrame = {
+    // `host` AND `host_bucket` are pure functions of url (url_host — the
+    // same expression normalizeCandidates derived them with) — DON'T ship
+    // them through the exchange: at 8 B each of a ~64 B UnsafeRow that's
+    // ~30% of the round's shuffle bytes (which cost fixed ~200 MB/s kernel
+    // time on this VM, and network at the 10^10 design point). The
+    // exchange hashes on the recomputed bucket EXPRESSION; both are
+    // rematerialized post-agg, codegen'd, on the already-deduped rows.
     def slim(df: DataFrame, src: Int, visit: Column): DataFrame =
-      df.select(col("url"), col("host_bucket"),
+      df.select(col("url"),
         packPrio(lit(src), col("depth"), col("discovered_at")).as("k"),
         visit.as("last_visit"))
     val f = slim(frontier, 0, col("last_visit"))
     val c = slim(cands, 1, lit(0L))
     // popped ⊆ frontier: full identity is already on the row
     val m = slim(popped, 0, lit(round))
-    // host_bucket is a function of url → an extra grouping key (identical
-    // groups, var-width KEYS are fine for HashAggregate — only the two
-    // LONG buffers must be fixed-width).
+    // the bucket EXPRESSION is also a grouping key (groups unchanged —
+    // it's a function of url): Catalyst's alias-aware partitioning then
+    // recognizes the repartition-on-expression as satisfying the
+    // aggregate's clustering, keeping the plan at ONE exchange
+    val bucketOfUrl =
+      hostBucket(graft.functions.GraftExpressions.url_host(col("url")), numBuckets)
     f.unionByName(c).unionByName(m)
-      .repartition(col("host_bucket"))
-      .groupBy(col("url"), col("host_bucket"))
+      .repartition(bucketOfUrl)
+      .groupBy(col("url"), bucketOfUrl.as("host_bucket"))
       .agg(min(col("k")).as("k"), max(col("last_visit")).as("last_visit"))
       .select(col("url"),
         graft.functions.GraftExpressions.url_host(col("url")).as("host"),

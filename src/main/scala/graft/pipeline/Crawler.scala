@@ -30,8 +30,12 @@ import java.nio.file.{Files, Paths}
  *    and DNS-cache locality (worker.go:117) but hot hosts split across
  *    `saltFactor` partitions (north rule: explicit skew handling);
  *  - docs are append-only round-partitioned parquet — never rewritten;
- *  - the frontier rewrite is the only full-table pass; see
- *    [[IcebergishTable]] for the MERGE-INTO swap point;
+ *  - the frontier is SPLIT: the live pool (unvisited queue) is the only
+ *    table rewritten per round, and popped rows leave it for an
+ *    append-only seen archive the round they are fetched — per-round
+ *    write I/O is O(pool + delta), never O(ever-seen) (at 10^10 the
+ *    ever-seen set dwarfs the live pool); see [[IcebergishTable]] for
+ *    the MERGE-INTO swap point;
  *  - nothing collects rows to the driver except ≤P lineage counters.
  */
 class Crawler(
@@ -47,15 +51,50 @@ class Crawler(
       Map("parquet.block.size" -> cfg.parquetBlockBytes.toString)
     else Map.empty
 
-  /** Frontier table: bucket-granular snapshots, files stored sorted by
-    * (host, fifo-priority) so pop streams without sorting. */
+  /** Frontier POOL table — the unvisited queue only: bucket-granular
+    * snapshots, files stored sorted by (host, fifo-priority) so pop
+    * streams without sorting. Visited rows LEAVE this table for the
+    * append-only [[seen]] archive the round they are popped, so the
+    * per-round rewrite is O(pool + delta), never O(ever-seen) — at the
+    * 10^10 design point the ever-seen set dwarfs the live pool and
+    * rewriting it every round was the unbounded term (round 3). */
   val frontierTable = new IcebergishTable(s"$workDir/frontier", Frontier.schema,
     sortCols = Seq("host", "depth", "discovered_at", "url"),
     writerOptions = writerOptions)
   val seenFilters = new graft.frontier.SeenFilterStore(workDir)
   private def docsDir = s"$workDir/docs"
+  private def seenDir = s"$workDir/seen"
 
   def lastRound: Int = frontierTable.currentSnapshot().map(_.round).getOrElse(-1)
+
+  /** Committed archive rounds, with the `round` partition column; the
+    * explicit schema (a) skips footer-based inference and (b) makes an
+    * empty/torn archive dir read as zero rows instead of failing. */
+  private def seenWithRound: DataFrame = {
+    if (!Files.exists(Paths.get(seenDir)))
+      return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Frontier.schema)
+        .withColumn("round", lit(0))
+    spark.read
+      .schema(Frontier.schema.add(
+        org.apache.spark.sql.types.StructField(
+          "round", org.apache.spark.sql.types.IntegerType)))
+      .parquet(seenDir)
+      .filter(col("round") <= lastRound)
+  }
+
+  /** Cumulative archive row count (popped totals); recovered on resume
+    * with one count over committed archive rounds. */
+  private var seenRows: Long =
+    if (!Files.exists(Paths.get(seenDir))) 0L else seenWithRound.count()
+
+  /** The ever-visited archive (url, host, host_bucket, depth,
+    * discovered_at, last_visit) — one immutable round dir per round,
+    * written straight from the popped cache (no shuffle), never rewritten.
+    * Torn rounds are excluded by the manifest round, like docs. */
+  def seen(): DataFrame =
+    seenWithRound.drop("round")
+      .select(Frontier.schema.fieldNames.map(col).toIndexedSeq: _*)
 
   def docIdOf(url: String): String = "d" + UrlFns.sha256Hex(url).substring(0, 16)
 
@@ -69,17 +108,20 @@ class Crawler(
     * any size — 10^10-scale seed lists never pass through the driver. */
   def addSeedCandidates(raw: DataFrame): Long = {
     val cands = Frontier.normalizeCandidates(raw, cfg.numBuckets, cfg.respectRobots)
-    val existing = frontierTable.read(spark)
-    // manifest row count as the cardinality hint — newOnly would otherwise
-    // pay a count() scan of the whole table on every re-seed
-    val fresh = Frontier.newOnly(existing, cands,
-      expectedRows = frontierTable.currentSnapshot().map(_.rows).getOrElse(0L))
-    val merged = existing.unionByName(fresh)
+    val pool = frontierTable.read(spark)
+    // the seen-set check is against EVERYTHING ever seen: live pool +
+    // archive. Manifest row count + archive counter as the cardinality
+    // hint — newOnly would otherwise pay a count() scan on every re-seed.
+    val fresh = Frontier.newOnly(pool.unionByName(seen()), cands,
+      expectedRows =
+        frontierTable.currentSnapshot().map(_.rows).getOrElse(0L) + seenRows)
+    // only the POOL is rewritten; archived rows never re-enter it
+    val merged = pool.unionByName(fresh)
     val seedRound = math.max(lastRound, 0)
     val rows = frontierTable.commit(merged, seedRound)
     if (cfg.useSeenFilter)
-      seenFilters.updateAndSave(spark, seedRound, seedRound, cands, frontierTable.read(spark))
-    rows
+      seenFilters.updateAndSave(spark, seedRound, seedRound, cands, frontier())
+    rows + seenRows
   }
 
   private val timing = sys.env.contains("GRAFT_ROUND_TIMING")
@@ -96,11 +138,19 @@ class Crawler(
   /** Run one fetch round; returns stats (popped==0 ⇒ frontier exhausted). */
   def round(): RoundStats = {
     val r = lastRound + 1
-    val frontierRowsHint = frontierTable.currentSnapshot().map(_.rows).getOrElse(-1L)
-    val frontier = frontierTable.read(spark)
+    val poolRowsHint = frontierTable.currentSnapshot().map(_.rows).getOrElse(0L)
+    val frontierRowsHint = poolRowsHint + seenRows
+    val pool = frontierTable.read(spark)
+    // the POOL is exactly the unvisited queue — fifo/uniform pops read it
+    // alone (the seen archive never re-enters the pop path); only the
+    // pair sampler (visit-count weights) and unique=false re-pops need
+    // archived rows in view
+    val popSource =
+      if (cfg.unique && cfg.sampler != "pair") pool
+      else pool.unionByName(seen())
     // sorted=true: the committed bucket files are (host, prio)-sorted, so
     // the fifo pop is a streaming take — no Sort node, no exchange
-    val popped0 = Frontier.pop(frontier, cfg.sampler, cfg.seed,
+    val popped0 = Frontier.pop(popSource, cfg.sampler, cfg.seed,
       cfg.perHostBudget, cfg.perBucketBudget, cfg.unique, cfg.boost,
       sorted = true)
       .persist()
@@ -108,6 +158,17 @@ class Crawler(
     // token generalized; north rule): rejected rows stay unvisited in the
     // frontier and are re-offered next round. State is a tiny per-round
     // parquet table — replaying a torn round rereads round r-1's state.
+    // The state WRITE runs on a driver-side thread, overlapped with the
+    // round's main jobs (it was a ~0.5-1 s serial-floor item per round,
+    // VERDICT r2); it must only be joined before the manifest rename so a
+    // torn round still replays against round r-1's state (a stray round-r
+    // state dir is harmless — the replay overwrites it).
+    var stateWrite: Option[Thread] = None
+    @volatile var stateWriteError: Throwable = null
+    def joinStateWrite(): Unit = {
+      stateWrite.foreach(_.join())
+      if (stateWriteError != null) throw stateWriteError
+    }
     val popped =
       if (cfg.politenessRate > 0) {
         val prevState = {
@@ -117,9 +178,15 @@ class Crawler(
         }
         val (admitted, newState) = graft.streaming.Politeness.throttleRound(
           popped0, prevState, r.toLong, cfg.politenessRate, cfg.politenessBurst)
-        newState.write.mode(SaveMode.Overwrite)
-          .parquet(s"$workDir/politeness/round-$r")
-        admitted.persist()
+        val adm = admitted.persist()
+        val t = new Thread(() =>
+          try newState.write.mode(SaveMode.Overwrite)
+            .parquet(s"$workDir/politeness/round-$r")
+          catch { case e: Throwable => stateWriteError = e })
+        t.setName(s"politeness-state-r$r")
+        t.start()
+        stateWrite = Some(t)
+        adm
       } else popped0
     // one job: per-bucket lineage counts AND the popped total
     val perBucketCounts = timed("pop")(popped.groupBy("host_bucket").count()
@@ -130,6 +197,7 @@ class Crawler(
     // "everything throttled this round" (advance and let tokens refill)
     val offeredN = if (popped ne popped0) popped0.count() else poppedN
     if (offeredN == 0) {
+      joinStateWrite()
       popped.unpersist()
       if (popped ne popped0) popped0.unpersist()
       return RoundStats(r, 0, 0, 0, 0, math.max(frontierRowsHint, 0L), 0)
@@ -137,23 +205,51 @@ class Crawler(
     if (poppedN == 0) {
       // throttled to zero: commit an empty delta (every bucket clean) so
       // the snapshot round advances and per-host tokens accrue
+      joinStateWrite()
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Frontier.schema)
-      val rows = frontierTable.commit(empty, r, Some(Set.empty))
+      val rows = frontierTable.commit(empty, r, Some(Set.empty)) + seenRows
       writeLineage(r, Seq.empty, 0, 0, 0, 0, rows)
       popped.unpersist()
       if (popped ne popped0) popped0.unpersist()
       return RoundStats(r, 0, 0, 0, 0, rows, offeredN)
     }
 
-    // --- fetch stage: salted-key shuffle, then per-partition pure fetch ---
+    // --- seen-archive append: the popped rows leave the pool this round.
+    //     Written straight from the popped CACHE (no shuffle, immutable
+    //     round dir — the docs pattern), on a driver thread overlapped
+    //     with the fetch; joined before the manifest rename so a torn
+    //     round replays it idempotently (the overwrite of round=r).
+    @volatile var seenWriteError: Throwable = null
+    val seenWrite = new Thread(() =>
+      try popped.withColumn("last_visit", lit(r.toLong))
+        .write.mode(SaveMode.Overwrite).options(writerOptions)
+        .parquet(s"$seenDir/round=$r")
+      catch { case e: Throwable => seenWriteError = e })
+    seenWrite.setName(s"seen-archive-r$r")
+    seenWrite.start()
+
+    // --- fetch stage: per-partition pure fetch, in place by default ---
+    // The pop output is ALREADY host-clustered and balanced: bucket files
+    // cluster by hash(host), and the per-host budget bounds any host at
+    // `perHostBudget` rows/round, so the worst bucket partition is
+    // hosts-per-bucket × budget (± hash Poisson noise) — fetching in place
+    // keeps host affinity (politeness, DNS-cache locality, worker.go:117)
+    // with ZERO shuffle. `saltFactor > 0` opts into the salted-key shuffle
+    // for regimes where one host's round share is unbounded (huge per-host
+    // budgets, unique=false re-pops — north rule: explicit skew handling);
+    // there `host#salt` splits a hot host across saltFactor partitions.
     val simB = sim
     val roundB = r
     val storeRoot = if (cfg.storeFiles) s"$workDir/store" else null
-    val out = popped
-      .withColumn("salt_key",
-        concat(col("host"), lit("#"), pmod(xxhash64(col("url")), lit(cfg.saltFactor))))
-      .repartition(spark.sparkContext.defaultParallelism * 2, col("salt_key"))
+    val fetchInput =
+      if (cfg.saltFactor > 0)
+        popped
+          .withColumn("salt_key",
+            concat(col("host"), lit("#"), pmod(xxhash64(col("url")), lit(cfg.saltFactor))))
+          .repartition(spark.sparkContext.defaultParallelism * 2, col("salt_key"))
+      else popped
+    val out = fetchInput
       .select(col("url"), col("depth"))
       .as[(String, Int)]
       .mapPartitions { it =>
@@ -232,24 +328,39 @@ class Crawler(
       else timed("cand-buckets")(
         cands.select("host_bucket").distinct().collect().map(_.getInt(0)).toSet) ++
         poppedBuckets
+    // the merge's identity resolution (first-seen wins) must see EVERY
+    // ever-seen url of the dirty buckets — live pool rows AND archived
+    // rows (a candidate re-discovering either must die). Archived rows
+    // flow through the shuffle but are DROPPED from the output: the
+    // archive already holds them immutably, so the commit writes only
+    // pool rows (last_visit == 0) — the write stays O(pool + delta).
     val frontierDirty =
-      if (dense) frontier
-      else frontier.filter(col("host_bucket").isin(dirty.toSeq.map(Int.box): _*))
+      if (dense) pool.unionByName(seen())
+      else pool.unionByName(seen())
+        .filter(col("host_bucket").isin(dirty.toSeq.map(Int.box): _*))
     // optional per-partition cuckoo refinement (north rule): provably-new
     // candidates bypass the exact merge aggregation; correctness never
     // depends on it (advisory only — see SeenFilterStore)
     // mergeRound's output is already bucket-hash-partitioned — the commit
     // reuses that exchange (preClustered) unless the seen-filter union
-    // broke it
+    // broke it; the pool filter below preserves it
     val merged =
       if (cfg.useSeenFilter) {
         val (provablyNew, maybeSeen) = seenFilters.split(spark, r - 1, cands)
-        Frontier.mergeRound(frontierDirty, maybeSeen, popped, r).unionByName(provablyNew)
-      } else Frontier.mergeRound(frontierDirty, cands, popped, r)
-    val frontierRows = timed("commit")(frontierTable.commit(merged, r, Some(dirty),
+        Frontier.mergeRound(frontierDirty, maybeSeen, popped, r, cfg.numBuckets).unionByName(provablyNew)
+      } else Frontier.mergeRound(frontierDirty, cands, popped, r, cfg.numBuckets)
+    val poolNext = merged.filter(col("last_visit") === 0L)
+    // the overlapped politeness-state and seen-archive writes must land
+    // BEFORE the atomic manifest rename — torn-round replay consistency
+    joinStateWrite()
+    seenWrite.join()
+    if (seenWriteError != null) throw seenWriteError
+    val poolRows = timed("commit")(frontierTable.commit(poolNext, r, Some(dirty),
       preClustered = !cfg.useSeenFilter))
+    seenRows += poppedN
+    val frontierRows = poolRows + seenRows
     if (cfg.useSeenFilter)
-      seenFilters.updateAndSave(spark, r, r - 1, cands, frontierTable.read(spark))
+      seenFilters.updateAndSave(spark, r, r - 1, cands, frontier())
     if (multiPass) cands.unpersist()
     val newN = math.max(0L, frontierRows - math.max(frontierRowsHint, 0L))
 
@@ -309,7 +420,17 @@ class Crawler(
     docsWide().select("doc_id", "url", "host", "depth", "error",
       "navigate_ts", "loaded_ts", "terminated_ts", "round")
 
-  def frontier(): DataFrame = frontierTable.read(spark)
+  /** The full ever-seen view: live pool ∪ archive. With `unique=false`
+    * (re-visiting crawls) an archived url re-pops and appends a NEW
+    * archive row per visit — collapse to one row per url with the latest
+    * visit mark, exactly the single-table update-in-place semantics. */
+  def frontier(): DataFrame = {
+    val v = frontierTable.read(spark).unionByName(seen())
+    if (cfg.unique) v
+    else v.groupBy("url", "host", "host_bucket", "depth", "discovered_at")
+      .agg(max("last_visit").as("last_visit"))
+      .select(Frontier.schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
 }
 
 case class CrawlConfig(
@@ -319,7 +440,11 @@ case class CrawlConfig(
     sampler: String = "fifo",
     seed: Long = 42L,
     unique: Boolean = true,
-    saltFactor: Int = 8,
+    /** Hot-host skew control for the fetch stage: 0 (default) fetches in
+      * place on the bucket-clustered pop output (per-host budget already
+      * bounds skew); >0 shuffles on `host#salt`, splitting any host across
+      * that many partitions — for unbounded per-host round shares. */
+    saltFactor: Int = 0,
     boost: Double = 2000.0,
     respectRobots: Boolean = false,
     useSeenFilter: Boolean = false,

@@ -13,8 +13,10 @@ object CrawlBenchProbe {
     // JIT warm-up session (same as Bench.main)
     Bench.crawlBench(32, 100000, 1)
     for (cores <- levels) {
-      val (p, s) = Bench.crawlBench(cores, seeds, rounds)
-      println(f"[probe] cores=$cores urls=$p sec=$s%.2f rate=${p / s}%.0f")
+      val r = Bench.crawlBench(cores, seeds, rounds)
+      println(f"[probe] cores=$cores urls=${r.popped} sec=${r.sec}%.2f " +
+        f"rate=${r.popped / r.sec}%.0f rounds=${r.rounds.map { case (p, s) =>
+          f"($p,$s%.1fs)" }.mkString(",")}")
     }
   }
 }

@@ -167,6 +167,22 @@ class CrawlerSpec extends AnyFunSuite {
       s"visit rounds not monotone in discovery order: ${visits.mkString(",")}")
   }
 
+  test("salted fetch shuffle (saltFactor>0) is semantically identical to in-place fetch") {
+    // the skew path (host#salt shuffle, W1) must change the physical
+    // distribution ONLY — same frontier state, same docs, either way
+    val sim = new FetchSim(numHosts = 10, pagesPerHost = 10)
+    def runWith(salt: Int): (Set[(String, Long)], Long) = {
+      val dir = tmpDir()
+      val c = new Crawler(spark, dir, sim, CrawlConfig(numBuckets = 4,
+        perHostBudget = 3, perBucketBudget = 100, saltFactor = salt))
+      c.addSeeds(sim.seedUrls(8))
+      c.round(); c.round()
+      (c.frontier().select("url", "last_visit").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet, c.docs().count())
+    }
+    assert(runWith(0) == runWith(4))
+  }
+
   test("resume: a new Crawler on the same workDir continues to the same final state") {
     val simA = new FetchSim(chainLength = 30)
     // uninterrupted run

@@ -101,7 +101,7 @@ class PlanSpec extends AnyFunSuite {
     val f = frame((0 until 40).map(i => s"http://h$i.test/a"))
     val c = frame((20 until 60).map(i => s"http://h$i.test/a"))
     val p = f.limit(5)
-    val plan = planOf(Frontier.mergeRound(f, c, p, 3L))
+    val plan = planOf(Frontier.mergeRound(f, c, p, 3L, 8))
     assert(plan.contains("HashAggregate"), s"merge lost the hash agg:\n$plan")
     assert(!plan.contains("SortAggregate"),
       s"merge fell back to SortAggregate (var-width agg buffer?):\n$plan")
@@ -114,7 +114,7 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("hashpartitioning(url"),
       s"merge shuffled on url — bucket partitioning not reused:\n$plan")
     // and the packed-priority semantics round-trip exactly
-    val out = Frontier.mergeRound(f, c, p, 3L).collect()
+    val out = Frontier.mergeRound(f, c, p, 3L, 8).collect()
       .map(r => r.getString(0) -> (r.getInt(3), r.getLong(4), r.getLong(5))).toMap
     assert(out.size == 60)
     assert(out("http://h25.test/a") == ((1, 25L, 0L))) // existing row wins identity

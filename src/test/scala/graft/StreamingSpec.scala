@@ -79,6 +79,91 @@ class StreamingSpec extends AnyFunSuite {
     urls.foreach(u => assert(UrlFns.robotsAllowed(u), s"disallowed url in frontier: $u"))
   }
 
+  test("torn round: crash between docs write and manifest rename replays byte-identically") {
+    import java.nio.file.{Files, Paths, Path}
+    def copyTree(from: String, to: String): Unit = {
+      val src = Paths.get(from)
+      Files.walk(src).forEach { p =>
+        val dst = Paths.get(to, src.relativize(p).toString)
+        if (Files.isDirectory(p)) Files.createDirectories(dst)
+        else { Files.createDirectories(dst.getParent); Files.copy(p, dst) }
+      }
+    }
+    def sha(p: Path): String = UrlFns.sha256Hex(Files.readAllBytes(p))
+    // bucket-dir → sorted content hashes of its parquet files (names carry
+    // task UUIDs and the data dir a commit nonce — CONTENT must match)
+    def bucketHashes(root: String): Map[String, Seq[String]] = {
+      val r = Paths.get(root)
+      val out = scala.collection.mutable.Map.empty[String, Seq[String]]
+      Files.walk(r).forEach { p =>
+        if (p.getFileName.toString.endsWith(".parquet") &&
+            p.getParent.getFileName.toString.startsWith("hb="))
+          out(p.getParent.getFileName.toString) =
+            (out.getOrElse(p.getParent.getFileName.toString, Seq.empty) :+ sha(p)).sorted
+      }
+      out.toMap
+    }
+    val sim = new FetchSim(numHosts = 12, pagesPerHost = 8)
+    val cfg = CrawlConfig(numBuckets = 4, perHostBudget = 3, perBucketBudget = 100)
+    val dir = tmpDir()
+    val c = new Crawler(spark, dir, sim, cfg)
+    c.addSeeds(sim.seedUrls(10))
+    c.round() // round 1 committed
+    // snapshot the pre-round-2 state, then run round 2 on the original
+    // (the uninterrupted reference run)
+    val torn = tmpDir()
+    copyTree(dir, torn)
+    val ref = c.round()
+    assert(ref.popped > 0)
+    // construct the EXACT crash window the manifest protocol claims to
+    // survive (argued in Crawler scaladoc, tested here — VERDICT r2 #9):
+    // docs/round=2 and the new frontier data dir are on disk, but the
+    // manifest.json rename never happened (so prune never ran either)
+    copyTree(s"$dir/docs/round=2", s"$torn/docs/round=2")
+    copyTree(s"$dir/seen/round=2", s"$torn/seen/round=2")
+    val strayIt = Files.list(Paths.get(s"$dir/frontier")).iterator()
+    var strayName: String = null
+    while (strayIt.hasNext) {
+      val p = strayIt.next()
+      if (p.getFileName.toString.startsWith("data-r2-")) {
+        copyTree(p.toString, s"$torn/frontier/${p.getFileName}")
+        strayName = p.getFileName.toString
+      }
+    }
+    assert(strayName != null, "expected a round-2 data dir in the reference run")
+    // resume through the streaming front-end: the first micro-batch must
+    // replay round 2 idempotently (overwrite docs, re-commit, prune stray)
+    val c2 = new Crawler(spark, torn, sim, cfg)
+    assert(c2.lastRound == 1, "torn round must NOT be visible before replay")
+    val sc = new StreamingCrawler(spark, c2, s"$torn/checkpoint-torn")
+    val replayed = sc.run(maxRounds = 1)
+    assert(c2.lastRound >= 2)
+    assert(replayed.headOption.map(_.popped).contains(ref.popped))
+    // processAllAvailable may have fired extra micro-batches past round 2;
+    // both runs are deterministic, so advance the reference to the same
+    // round before comparing state
+    while (c.lastRound < c2.lastRound) c.round()
+    // byte-identical replay: every frontier bucket file and every docs
+    // round file matches the uninterrupted run content-for-content
+    assert(bucketHashes(s"$torn/frontier") == bucketHashes(s"$dir/frontier"))
+    def treeHashes(root: String, sub: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      Files.walk(Paths.get(root, sub)).forEach { p =>
+        if (p.getFileName.toString.endsWith(".parquet")) out += sha(p)
+      }
+      out.sorted.toSeq
+    }
+    assert(treeHashes(torn, "docs") == treeHashes(dir, "docs"))
+    // the append-only seen archive must replay byte-identically too
+    assert(treeHashes(torn, "seen") == treeHashes(dir, "seen"))
+    // and the torn round's stray data dir (identified by its commit nonce)
+    // did not survive the replayed commit's prune
+    val staleDirs = Files.list(Paths.get(s"$torn/frontier")).iterator()
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (staleDirs.hasNext) names += staleDirs.next().getFileName.toString
+    assert(!names.contains(strayName), s"stray torn-round data dir not pruned: $names")
+  }
+
   test("streaming crawler: micro-batch rounds crawl the chain to closure, then resume-noop") {
     val n = 12
     val dir = tmpDir()
