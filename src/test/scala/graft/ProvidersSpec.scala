@@ -98,6 +98,14 @@ class ProvidersSpec extends AnyFunSuite {
       Providers.writeFeedSnapshot(dir, firstId = 3, count = 3)
       q.processAllAvailable()
       assert(spark.table("feed_hwm_out").count() == 6)
+      // polls 4+5 land in the SAME micro-batch with overlapping ids 7..9 /
+      // 8..11, all above the watermark — each id must be emitted ONCE
+      // (ADVICE r2: the per-batch filter alone would emit 8 and 9 twice)
+      Providers.writeFeedSnapshot(dir, firstId = 7, count = 3)  // 7..9
+      Providers.writeFeedSnapshot(dir, firstId = 8, count = 4)  // 8..11
+      q.processAllAvailable()
+      val ids2 = spark.table("feed_hwm_out").collect().map(_.getAs[Long]("id")).sorted
+      assert(ids2.toSeq == (1L to 11L), s"in-batch overlap emitted dupes: ${ids2.toSeq}")
     } finally q.stop()
   }
 
