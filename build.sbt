@@ -58,11 +58,28 @@ val youngGen: Seq[String] = "^(\\d+)([gGmM])$".r
 // those regions incrementally and eliminated the GC time entirely.
 val gcOpts: Seq[String] = sys.env.getOrElse("GRAFT_GC", "g1") match {
   case "parallel" => Seq("-XX:+UseParallelGC") ++ youngGen
-  case _ => Seq("-XX:+UseG1GC")
+  // MaxGCPauseMillis=2000 (vs the 200 ms default): G1 sizes eden DOWN to
+  // meet the pause target, and at 32 allocation-heavy fetch threads the
+  // default target shrank eden to ~1.6 GB → a young collection every
+  // ~1.5 s, ~410 ms STW each, plus GCLocker-initiated stalls every time a
+  // collection collided with the zstd/parquet JNI critical sections
+  // 32 threads keep permanently busy. Measured (round 3, 9M-seed probe at
+  // local[32]): 94.5 s total STW and 145 GCLocker GCs per bench run with
+  // the default; 11.9 s and 16 with the 2 s target — fetch-stage GC share
+  // fell from 57-70 % of task time to <10 %, round rate 50k → 86k urls/s.
+  // local[8] was already <5 % GC, so the whole gain lands on the 4N side
+  // of the N→4N scaling gate. A batch engine has no latency SLO: pause
+  // tolerance buys eden, eden buys throughput.
+  case _ => Seq("-XX:+UseG1GC", "-XX:MaxGCPauseMillis=2000")
 }
+// GC experiment hooks: GRAFT_GC_LOG=<path> writes a unified GC log;
+// GRAFT_GC_OPTS passes free-form extra JVM flags (space-separated).
+val extraJvm: Seq[String] =
+  sys.env.get("GRAFT_GC_LOG").map(p => s"-Xlog:gc*:file=$p").toSeq ++
+    sys.env.getOrElse("GRAFT_GC_OPTS", "").split(" ").filter(_.nonEmpty).toSeq
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx$driverMem",
   s"-Xms$driverMem",
-) ++ gcOpts
+) ++ gcOpts ++ extraJvm

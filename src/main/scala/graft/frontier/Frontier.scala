@@ -39,6 +39,45 @@ object Frontier {
     pmod(xxhash64(host), lit(numBuckets)).cast(IntegerType)
 
   /**
+   * Perfect bucket→shuffle-partition mapping. `repartition(P, col)` places
+   * a row by `pmod(murmur3(col), P)` — murmur-hashing the `numBuckets`
+   * distinct bucket ids into `numBuckets` partitions is a birthday draw
+   * that lands 3-4 buckets in one partition while leaving others empty, a
+   * 3-4× straggler on every post-shuffle stage keyed by bucket (merge
+   * aggregate, per-bucket sort, bucket-file write). At 32 cores the merge
+   * is only ~4 task waves deep, so the straggler IS the stage wall.
+   *
+   * Fix: a driver-computed token array where `token(b)` is the smallest
+   * int whose Murmur3_x86_32(seed 42) — exactly the hash family
+   * `HashPartitioning.partitionIdExpression` applies to an int column —
+   * lands in partition b. Repartitioning AND grouping on
+   * `element_at(tokens, bucket+1)` keeps the one-exchange plan (the token
+   * is a function of the bucket, hence of the url: groups are unchanged
+   * and the aggregate's ClusteredDistribution is satisfied by the same
+   * canonicalized expression) while giving bucket i partition i,
+   * exactly one bucket per task. Deterministic: depends only on n.
+   */
+  private val tokenCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Int]]()
+  def partitionTokens(n: Int): Array[Int] =
+    tokenCache.computeIfAbsent(n, { n =>
+      val slots = Array.fill(n)(-1)
+      var t = 0
+      var filled = 0
+      // coupon-collector: ~n ln n probes (128 buckets → ~712)
+      while (filled < n) {
+        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(t, 42)
+        val p = ((h % n) + n) % n
+        if (slots(p) < 0) { slots(p) = t; filled += 1 }
+        t += 1
+      }
+      slots
+    })
+
+  /** The balanced shuffle key for a bucket column: `element_at` is 1-based. */
+  def bucketToken(bucket: Column, numBuckets: Int): Column =
+    element_at(lit(partitionTokens(numBuckets)), bucket + lit(1))
+
+  /**
    * First-seen priority packed into ONE non-negative BIGINT —
    * `src(1b) | depth(15b) | discovered_at(47b)` — so the frontier's dedup
    * aggregations are `min(long)`: a fixed-width buffer Spark executes as a
@@ -321,13 +360,21 @@ object Frontier {
     // aggregate's clustering, keeping the plan at ONE exchange
     val bucketOfUrl =
       hostBucket(graft.functions.GraftExpressions.url_host(col("url")), numBuckets)
+    // exchange + group on the balanced TOKEN of the bucket (still a pure
+    // function of url — groups unchanged, one exchange, see partitionTokens):
+    // bucket i lands alone in shuffle partition i, so the aggregate, the
+    // per-bucket sort, and the bucket-file write all run skew-free. The
+    // explicit partition count pins the 1:1 layout (and marks the shuffle
+    // REPARTITION_BY_NUM, which AQE never coalesces — a coalesce would
+    // re-merge buckets into shared tasks).
+    val tokenOfUrl = bucketToken(bucketOfUrl, numBuckets)
     f.unionByName(c).unionByName(m)
-      .repartition(bucketOfUrl)
-      .groupBy(col("url"), bucketOfUrl.as("host_bucket"))
+      .repartition(numBuckets, tokenOfUrl)
+      .groupBy(col("url"), tokenOfUrl.as("pt"))
       .agg(min(col("k")).as("k"), max(col("last_visit")).as("last_visit"))
       .select(col("url"),
         graft.functions.GraftExpressions.url_host(col("url")).as("host"),
-        col("host_bucket"),
+        bucketOfUrl.as("host_bucket"),
         unpackDepth(col("k")).as("depth"),
         unpackDiscoveredAt(col("k")).as("discovered_at"), col("last_visit"))
   }

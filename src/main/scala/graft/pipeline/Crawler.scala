@@ -307,7 +307,35 @@ class Crawler(
       .select(col("depth"), posexplode(col("links")).as(Seq("pos", "url")))
       .select(col("url"), (col("depth") + 1).as("depth"),
         (lit(r.toLong * 1000000L) + col("pos")).as("discovered_at"))
-    val cands0 = Frontier.normalizeCandidates(rawNew, cfg.numBuckets,
+    // partition-local candidate thinning: links repeat heavily WITHIN a
+    // fetch partition (same-host links target the host's own page space;
+    // a hot host referenced from everywhere funnels ~millions of duplicate
+    // rows per round into ONE merge partition — measured skew). A
+    // per-partition min-priority hashmap collapses them BEFORE the merge
+    // exchange — no shuffle of its own, and exact semantics: min(packed
+    // prio) is associative, mergeRound's global aggregation re-mins across
+    // partitions. This is the map-side partial aggregate Catalyst cannot
+    // plan here (the merge's explicit bucket repartition precedes its
+    // groupBy, so its partial agg runs post-shuffle). Memory is bounded by
+    // the fetch task's own output (budget × links-per-page entries).
+    val thinned = {
+      import org.apache.spark.sql.Encoders
+      implicit val enc = Encoders.tuple(Encoders.STRING, Encoders.scalaInt, Encoders.scalaLong)
+      rawNew.as[(String, Int, Long)].mapPartitions { it =>
+        val best = new java.util.HashMap[String, java.lang.Long]()
+        it.foreach { case (u, d, t) =>
+          val k = (d.toLong << 47) + t
+          val prev = best.get(u)
+          if (prev == null || k < prev) best.put(u, k)
+        }
+        import scala.jdk.CollectionConverters._
+        best.entrySet().iterator().asScala.map { e =>
+          val k = e.getValue.longValue()
+          (e.getKey, (k >> 47).toInt, k & ((1L << 47) - 1))
+        }
+      }.toDF("url", "depth", "discovered_at")
+    }
+    val cands0 = Frontier.normalizeCandidates(thinned, cfg.numBuckets,
       cfg.respectRobots, dedup = cfg.useSeenFilter)
     // dirty buckets = buckets with pops or new candidates; ONLY their
     // frontier rows enter the merge shuffle and ONLY their files are

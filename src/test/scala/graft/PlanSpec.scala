@@ -123,6 +123,24 @@ class PlanSpec extends AnyFunSuite {
     popped.foreach(u => assert(out(u)._3 == 3L, s"visit mark lost for $u"))
   }
 
+  test("bucket token mapping is a perfect 1:1 bucket→shuffle-partition layout") {
+    import spark.implicits._
+    // tokens are injective per n (driver-side property)…
+    for (n <- Seq(8, 32, 128, 200)) {
+      val toks = Frontier.partitionTokens(n)
+      assert(toks.distinct.length == n, s"tokens not distinct for n=$n")
+    }
+    // …and repartition(n, bucketToken(b)) places bucket b ALONE in
+    // partition b — the skew-free layout the merge/commit stage relies on
+    // (plain repartition(col) murmur-collides 3-4 buckets into one task)
+    val n = 64
+    val placed = (0 until n).toDF("b")
+      .repartition(n, Frontier.bucketToken(col("b"), n))
+      .select(col("b"), spark_partition_id().as("p"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1))
+    placed.foreach { case (b, p) => assert(b == p, s"bucket $b landed in partition $p") }
+  }
+
   test("q30 IVF: no global Window anywhere — init is a distributed top-k, argmax is an aggregate") {
     // round-2 regressions this gates (VERDICT r2 #3/#4): the k-means init
     // was row_number over a Window with NO partition spec (whole corpus
