@@ -112,7 +112,16 @@ object Bench {
       // supply (~440 distinct pages of 500) covers warmup + 2 rounds × 100
       // budget with headroom — an exhausted pool would make a measured
       // round degenerate and the rate meaningless
-      val sim = new FetchSim(numHosts = 20000, pagesPerHost = 500, linksPerPage = 6)
+      // GRAFT_BENCH_HOSTS scales the ROUND SIZE (popped/round = hosts ×
+      // per-host budget). Round-3 A/B at 2M vs 8M rounds: pair efficiency
+      // 0.436 median → 0.513 in the matched good-window pair — larger
+      // rounds amortize the per-round non-scaling share, and the 10^10
+      // design point runs orders-of-magnitude larger rounds still. The
+      // default round is 6M URLs (60000 hosts × 100 budget), sized so a
+      // 3-pair campaign still fits the deadline; seeds default 27M to keep
+      // per-host supply statistics identical to the historical 9M/20000.
+      val benchHosts = sys.env.getOrElse("GRAFT_BENCH_HOSTS", "60000").toInt
+      val sim = new FetchSim(numHosts = benchHosts, pagesPerHost = 500, linksPerPage = 6)
       // storeFiles off: the BASELINE.json metric is FRONTIER fetch-round
       // throughput; millions of tiny tmpfs body files per round would
       // measure the filesystem, not the engine (body-store wall time is
@@ -131,8 +140,10 @@ object Bench {
       // in place on the bucket-clustered pop output — the salt shuffle's
       // ~140 MB/round of shuffle bytes was pure fixed cost here, and fixed
       // costs are exactly what the 4N side pays proportionally more for
+      // per-bucket budget tracks the host count so bigger-round configs
+      // aren't silently capped (default 20000 hosts → the historical 40000)
       val cfg = CrawlConfig(numBuckets = 128, perHostBudget = 100,
-        perBucketBudget = 40000, sampler = "fifo", saltFactor = 0,
+        perBucketBudget = math.max(40000, benchHosts), sampler = "fifo", saltFactor = 0,
         storeFiles = false, parquetBlockBytes = 16L * 1024 * 1024,
         politenessRate = politeness, politenessBurst = math.max(1.0, politeness))
       val crawler = new Crawler(spark, work, sim, cfg)
@@ -203,8 +214,12 @@ object Bench {
     val nLow = math.max(1, cpus / 4)
 
     // ---- headline: frontier fetch-round throughput at N vs 4N ----
-    val seedCount = sys.env.getOrElse("GRAFT_BENCH_SEEDS", "9000000").toLong
-    val rounds = sys.env.getOrElse("GRAFT_BENCH_ROUNDS", "3").toInt
+    val seedCount = sys.env.getOrElse("GRAFT_BENCH_SEEDS", "27000000").toLong
+    // 2 measured rounds (not 3): per-host page supply covers warmup + 2
+    // full-budget rounds with the same headroom the 9M/20000/3-round
+    // config had, and the shorter level keeps 3 N→4N pairs (the median's
+    // noise protection) inside the deadline at the larger round size
+    val rounds = sys.env.getOrElse("GRAFT_BENCH_ROUNDS", "2").toInt
     val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "3").toInt
     val skipCrawl = sys.env.contains("GRAFT_BENCH_SKIP_CRAWL")
     // throwaway session: C2-tier JIT of the whole fetch/frontier path
@@ -232,7 +247,10 @@ object Bench {
     // deadline guard: a bad host window can stretch one pair from ~4 to
     // 20+ minutes — rather than risk the whole bench run, stop adding
     // pairs past the budget (always completing at least one)
-    val deadlineSec = sys.env.getOrElse("GRAFT_BENCH_DEADLINE_SEC", "1500").toLong
+    // 1800 s for the 6M-round default: a good-window pair is ~400-550 s,
+    // so 3 pairs fit; a bad host window stops the campaign at 2 pairs
+    // rather than blowing the wall-clock budget
+    val deadlineSec = sys.env.getOrElse("GRAFT_BENCH_DEADLINE_SEC", "1800").toLong
     val crawlT0 = System.nanoTime()
     val pairs: Seq[(CrawlSample, CrawlSample)] =
       if (skipCrawl) Seq.empty

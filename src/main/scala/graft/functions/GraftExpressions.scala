@@ -174,6 +174,108 @@ object GraftExpressions {
       copy(left = l, right = r)
   }
 
+  /**
+   * `minhash_sig(shingles array<string>, n)` — the full n-hash MinHash
+   * signature in ONE primitive-array pass. Bit-identical by construction
+   * to the column-algebra form
+   * `aggregate(transform(sh, xxhash64), [MaxValue]*n,
+   *    (acc,h) => zip_with(acc, transform(0..n-1, i => xxhash64(h,i)), least))`
+   * — it calls the SAME `XXH64` primitives Spark's `xxhash64` evaluates
+   * (string → hashUnsafeBytes(seed 42); (h,i) → hashInt(i, hashLong(h,42)))
+   * — but with none of the higher-order-function tax: the HOF form builds
+   * two fresh 128-element ArrayData per shingle and dispatches an
+   * interpreted lambda per element (~2·n·|sh| allocations per doc), which
+   * made the q25 signature pass the dominant cost of the whole LSH
+   * pipeline. Bit-identity is property-tested against the HOF formula
+   * (OperatorsSpec), so LSH bucket assignments — and therefore recall —
+   * are EXACTLY unchanged.
+   */
+  case class MinhashSig(left: Expression, right: Expression)
+      extends BinaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "minhash_sig"
+    override def nullSafeEval(a: Any, nAny: Any): Any = {
+      val arr = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = nAny.asInstanceOf[Int]
+      val mins = Array.fill(n)(Long.MaxValue)
+      val m = arr.numElements()
+      var k = 0
+      while (k < m) {
+        val s = arr.getUTF8String(k)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        val base = XXH64.hashLong(h, 42L)
+        var i = 0
+        while (i < n) {
+          val v = XXH64.hashInt(i, base)
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
+        k += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /**
+   * `cosine_sim(a array<float|double>, b array<float|double>)` — cosine
+   * similarity in ONE primitive pass (dot product and both norms
+   * accumulated together). Bit-identical to the column-algebra form
+   * `dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b)))` with
+   * `dot = aggregate(zip_with(a,b,x*y), 0.0, +)`: the fold is
+   * left-to-right in index order and each element is cast to double
+   * before multiplying — this loop performs the same double ops in the
+   * same order (property-tested in OperatorsSpec). The HOF form built a
+   * fresh products array per pair and dispatched interpreted lambdas per
+   * element, ×3 (dot + both norms) — the dominant cost of every cosine
+   * pipeline (q26/q27/q29/q30: brute-force, LSH verify, IVF k-means).
+   *
+   * ONE deliberate divergence: a zero-norm vector yields NULL here, where
+   * the HOF division raises DIVIDE_BY_ZERO under ANSI mode (Spark 4
+   * default). A degenerate embedding must not kill a 100 TB job, and null
+   * (unlike NaN, which sorts HIGHEST in descending rank order) falls out
+   * of thresholds and top-k rankings harmlessly.
+   */
+  case class CosineSim(left: Expression, right: Expression)
+      extends BinaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "cosine_sim"
+    private lazy val leftIsFloat =
+      left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    private lazy val rightIsFloat =
+      right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = x.numElements()
+      // length mismatch → null, matching zip_with's null-padding through
+      // the HOF fold (null product poisons the whole sum)
+      if (y.numElements() != n) return null
+      var dp = 0.0
+      var na = 0.0
+      var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        val yi = if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
+        dp += xi * yi
+        na += xi * xi
+        nb += yi * yi
+        i += 1
+      }
+      if (na == 0.0 || nb == 0.0) null
+      else dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** Register all custom functions for SQL + `call_function` use. Idempotent. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -186,6 +288,10 @@ object GraftExpressions {
     reg.createOrReplaceTempFunction("gzip_size", es => GzipSize(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("jaccard_sorted",
       es => JaccardSorted(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      es => MinhashSig(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_sim",
+      es => CosineSim(es(0), es(1)), "scala_udf")
     // Spark's own codegen'd probe (BloomFilterMightContain — what a
     // runtime-filter join injects): arg0 = serialized sketch BloomFilter
     // literal, arg1 = xxhash64 of the probe value. Registered so the
@@ -205,4 +311,6 @@ object GraftExpressions {
   def robots_allowed(c: Column): Column = call_function("robots_allowed", c)
   def gzip_size(c: Column): Column = call_function("gzip_size", c)
   def jaccard_sorted(a: Column, b: Column): Column = call_function("jaccard_sorted", a, b)
+  def minhash_sig(sh: Column, n: Column): Column = call_function("minhash_sig", sh, n)
+  def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
 }

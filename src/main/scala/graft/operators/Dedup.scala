@@ -126,15 +126,22 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
-  /** MinHash signature. Each shingle string is hashed ONCE to a long;
-    * the `numHashes` family then mixes (h, seed) over 8-byte longs —
-    * ~4x cheaper than re-hashing the string bytes per seed. ONE fold over
-    * the shingle array updates all `numHashes` running minima at once
-    * (round 2 ran `numHashes` independent array_min sweeps — same
-    * 128·|sh| hash evals, but 128 traversals and 128 |sh|-sized temp
-    * arrays per doc; VERDICT r2 q25 note). `xxhash64(h, i)` operand
-    * types/order are unchanged, so the signature is bit-identical. */
-  def minhashSignature(sh: Column, numHashes: Int): Column = {
+  /** MinHash signature — ONE primitive-array pass over the shingles via
+    * the custom [[graft.functions.GraftExpressions.MinhashSig]] expression
+    * (each string hashed once; the `numHashes` family mixes (h, i) over
+    * 8-byte longs with the same `XXH64` composition Spark's `xxhash64`
+    * evaluates, so the signature — and every LSH bucket derived from it —
+    * is bit-identical to the [[minhashSignatureHof]] reference, which the
+    * OperatorsSpec property test asserts). */
+  def minhashSignature(sh: Column, numHashes: Int): Column =
+    call_function("minhash_sig", sh, lit(numHashes))
+
+  /** The column-algebra (higher-order-function) form the custom
+    * expression replaced — kept ONLY as the bit-identity reference for
+    * OperatorsSpec's property test, never on the hot path: it builds two
+    * fresh `numHashes`-element arrays per shingle through interpreted
+    * lambdas, which made the signature pass dominate q25's wall time. */
+  def minhashSignatureHof(sh: Column, numHashes: Int): Column = {
     val sh64 = transform(sh, x => xxhash64(x))
     aggregate(sh64,
       transform(sequence(lit(0), lit(numHashes - 1)), _ => lit(Long.MaxValue)),

@@ -28,7 +28,22 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity — the one-pass primitive
+    * [[graft.functions.GraftExpressions.CosineSim]] expression
+    * (bit-identical to [[cosineHof]]: same per-element double ops in the
+    * same fold order — OperatorsSpec property-tests the equality; callers
+    * register via [[graft.functions.GraftExpressions.register]], which
+    * every public operator entry point below does). */
+  def cosine(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  /** The column-algebra cosine the custom expression replaced — kept as
+    * the bit-identity reference for the property test; the HOF fold built
+    * a fresh products array and dispatched interpreted lambdas per
+    * element, ×3 per pair (dot + both norms). */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def reg(df: DataFrame): Unit =
+    graft.functions.GraftExpressions.register(df.sparkSession)
 
   /**
    * Exact top-k cosine neighbors for each query row. `queries` is expected
@@ -36,6 +51,7 @@ object Similarity {
    * corpus shuffle except the final per-query top-k (tiny).
    */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    reg(corpus)
     val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     c.join(broadcast(q), col("q_id") =!= col("n_id"))
@@ -110,6 +126,7 @@ object Similarity {
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       tables: Int = 8, planesPerTable: Int = 12,
       planeMatrix: Option[Seq[Seq[Double]]] = None): DataFrame = {
+    reg(corpus)
     def withBuckets(df: DataFrame, prefix: String): DataFrame =
       df.select(col("vec_id").as(s"${prefix}_id"), col("embedding").as(s"${prefix}_emb"),
         posexplode(planeMatrix match {
@@ -138,6 +155,7 @@ object Similarity {
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
       tables: Int = 12, planesPerTable: Int = 10,
       planeMatrix: Option[Seq[Seq[Double]]] = None): DataFrame = {
+    reg(corpus)
     val b = corpus.select(col("vec_id"), col("embedding"),
       posexplode(planeMatrix match {
         case Some(m) => signBucketsLit(col("embedding"), m, planesPerTable)
@@ -228,6 +246,7 @@ object Similarity {
    */
   def kmeansCentroids(corpus: DataFrame, cells: Int, iters: Int = 5,
       seed: Long = 42L): DataFrame = {
+    reg(corpus)
     require(cells > 0 && cells < (1 << 21), "cell_id must fit nearestCell's packed argmax")
     // init order by md5 (not xxhash64): deterministic either way, but md5
     // is a public cross-engine hash, so the DuckDB oracle replays the SAME
@@ -257,12 +276,15 @@ object Similarity {
    * corpus streams, one slim row per vector shuffles).
    * Query: probe the `nprobe` nearest cells only, exact re-rank inside.
    */
-  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame =
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    reg(corpus)
     nearestCell(corpus, centroids)
       .select(col("vec_id"), col("embedding"), col("cell_id"))
+  }
 
   def ivfTopK(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
       k: Int, nprobe: Int): DataFrame = {
+    reg(queries)
     // top-nprobe needs a rank, not an argmax — but the window partitions by
     // vec_id over the QUERY side only (small by contract), never the corpus
     val probes = queries.crossJoin(broadcast(centroids))

@@ -42,6 +42,57 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L))) // near dup
   }
 
+  test("minhash_sig expression is bit-identical to the HOF column-algebra reference") {
+    // bucket assignments (and so recall) depend on EXACT signature bits:
+    // the custom one-pass expression must reproduce the xxhash64
+    // composition of the higher-order-function form on arbitrary shingle
+    // arrays, including empty and unicode-bearing ones
+    graft.functions.GraftExpressions.register(spark)
+    val docs = corpus().unionByName(Seq(
+      100L -> "", 101L -> "ünïcode tökens über all",
+      102L -> "a b a b a").toDF("doc_id", "text"))
+    val sh = docs.select(col("doc_id"), Dedup.shingleArr(col("text"), 3).as("sh"))
+    val both = sh.select(col("doc_id"),
+      Dedup.minhashSignature(col("sh"), 128).as("fast"),
+      Dedup.minhashSignatureHof(col("sh"), 128).as("ref"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"signature mismatch for doc ${r.getLong(0)}")
+    }
+  }
+
+  test("cosine_sim expression is bit-identical to the HOF column-algebra reference") {
+    graft.functions.GraftExpressions.register(spark)
+    // deterministic pseudo-random float vectors — exact double equality
+    // required, the expression must reproduce the HOF fold's op order bit
+    // for bit
+    val vecs = (0 until 49).map { i =>
+      (i.toLong, Array.tabulate(64)(j => ((i * 131 + j * 17) % 97 - 48) / 7.0f))
+    }.toDF("vec_id", "embedding")
+    val pairs = vecs.as("a").crossJoin(vecs.as("b")).limit(500)
+      .select(
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("fast"),
+        Similarity.cosineHof(col("a.embedding"), col("b.embedding")).as("ref"))
+      .collect()
+    pairs.foreach { r =>
+      val f = r.getDouble(0)
+      val e = r.getDouble(1)
+      assert(java.lang.Double.doubleToRawLongBits(f) ==
+        java.lang.Double.doubleToRawLongBits(e),
+        s"cosine mismatch: $f vs $e")
+    }
+    // the ONE documented divergence: zero-norm → NULL (the ANSI HOF form
+    // raises DIVIDE_BY_ZERO; a degenerate embedding must not kill the job,
+    // and NaN would TOP-rank in descending cosine order)
+    val z = Seq((0L, Array.fill(64)(0.0f)), (1L, Array.fill(64)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val zr = z.as("a").crossJoin(z.as("b"))
+      .select(Similarity.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(zr.count(_.isEmpty) == 3, s"zero-vector pairs must be null: ${zr.toSeq}")
+  }
+
   test("minhashLshPairs: finds near-dups, never reports below-threshold pairs (precision exact)") {
     val got = Dedup.minhashLshPairs(corpus(), n = 3, threshold = 0.5)
     val pairs = got.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
