@@ -169,6 +169,7 @@ class Crawler(
       stateWrite.foreach(_.join())
       if (stateWriteError != null) throw stateWriteError
     }
+    var pendingStateWrite: Option[() => Unit] = None
     val popped =
       if (cfg.politenessRate > 0) {
         val prevState = {
@@ -178,15 +179,20 @@ class Crawler(
         }
         val (admitted, newState) = graft.streaming.Politeness.throttleRound(
           popped0, prevState, r.toLong, cfg.politenessRate, cfg.politenessBurst)
-        val adm = admitted.persist()
-        val t = new Thread(() =>
-          try newState.write.mode(SaveMode.Overwrite)
-            .parquet(s"$workDir/politeness/round-$r")
-          catch { case e: Throwable => stateWriteError = e })
-        t.setName(s"politeness-state-r$r")
-        t.start()
-        stateWrite = Some(t)
-        adm
+        // the state write is overlapped with the fetch, but DEFERRED until
+        // the popped/admitted caches are materialized (below) — started
+        // here it would race their first materialization and recompute the
+        // whole pop + admission in parallel with the main jobs
+        pendingStateWrite = Some(() => {
+          val t = new Thread(() =>
+            try newState.write.mode(SaveMode.Overwrite)
+              .parquet(s"$workDir/politeness/round-$r")
+            catch { case e: Throwable => stateWriteError = e })
+          t.setName(s"politeness-state-r$r")
+          t.start()
+          stateWrite = Some(t)
+        })
+        admitted.persist()
       } else popped0
     // one job: per-bucket lineage counts AND the popped total
     val perBucketCounts = timed("pop")(popped.groupBy("host_bucket").count()
@@ -196,6 +202,8 @@ class Crawler(
     // throttle — it distinguishes "frontier exhausted" (stop) from
     // "everything throttled this round" (advance and let tokens refill)
     val offeredN = if (popped ne popped0) popped0.count() else poppedN
+    // both caches are hot now — kick off the overlapped state write
+    pendingStateWrite.foreach(_.apply())
     if (offeredN == 0) {
       joinStateWrite()
       popped.unpersist()

@@ -53,6 +53,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("partition-local throttleRound ≡ window form (admitted set + next state)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // popped rows across several hosts incl. one with existing state, one
+    // unseen, one starved (0 tokens, refill below 1): both forms must
+    // admit the SAME set and produce the SAME next-state table
+    val popped = Seq(
+      ("http://a.test/1", "a.test", 0, 1, 10L), ("http://a.test/2", "a.test", 0, 0, 11L),
+      ("http://a.test/3", "a.test", 0, 1, 9L), ("http://b.test/1", "b.test", 1, 2, 5L),
+      ("http://b.test/2", "b.test", 1, 2, 4L), ("http://c.test/1", "c.test", 2, 0, 1L))
+      .toDF("url", "host", "host_bucket", "depth", "discovered_at")
+      .repartition(3, col("host_bucket"))
+    val state = Seq(("a.test", 1.2, 6L), ("c.test", 0.1, 6L), ("idle.test", 0.7, 2L))
+      .toDF("host", "tokens", "last_round")
+    val (admP, stP) = Politeness.throttleRound(popped, state, 7L, 0.5, 2.0)
+    val (admW, stW) = Politeness.throttleRoundWindow(popped, state, 7L, 0.5, 2.0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(admP) == rows(admW), "admitted sets differ")
+    assert(rows(stP.select("host", "tokens", "last_round")) ==
+      rows(stW.select("host", "tokens", "last_round")), "state tables differ")
+    // sanity on the semantics themselves: a refills to 1.7 → admits 1
+    // (min depth, then discovered_at), c refills to 0.6 → admits 0,
+    // idle carries untouched
+    val admByHost = admP.collect().groupBy(_.getString(1)).view.mapValues(_.map(_.getString(0)).toSet).toMap
+    assert(admByHost.getOrElse("a.test", Set()) == Set("http://a.test/2"))
+    assert(!admByHost.contains("c.test"))
+    val st = stP.collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(st("idle.test") == ((0.7, 2L)))
+    assert(st("c.test") == ((0.6, 7L)))
+  }
+
   test("robots rules are deterministic; filter drops disallowed paths") {
     val host = "h1.test"
     val dis = UrlFns.robotsDisallow(host)
