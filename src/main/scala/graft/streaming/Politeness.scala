@@ -90,38 +90,51 @@ object Politeness {
   case class PopEntry(url: String, host: String, host_bucket: Int,
       depth: Int, discovered_at: Long)
 
-  def throttleRound(popped: org.apache.spark.sql.DataFrame,
+  /** [[PopEntry]] plus its admission verdict — the one-pass flag form. */
+  case class FlaggedEntry(url: String, host: String, host_bucket: Int,
+      depth: Int, discovered_at: Long, admit: Boolean)
+
+  /**
+   * Flag every popped row with its admission verdict — ONE pass, no row
+   * dropped. The caller caches THIS frame once and derives everything
+   * from it: `admitted = flagged.filter('admit)`, offered/admitted counts
+   * in one aggregate job, and [[nextState]]. (The round-2 tuple form made
+   * the crawler materialize popped AND admitted as two ~round-sized
+   * caches plus a separate offered-count job.)
+   *
+   * Admission is a PER-HOST decision and the pop output is already
+   * host-clustered (bucket files cluster by hash(host)) — so the verdict
+   * is computed PARTITION-LOCALLY against a broadcast state map instead
+   * of the round-2 window form, which shuffled and sorted the ENTIRE
+   * popped set on host every round (measured: the window + its
+   * re-execution by the state-write job added ~+75% round wall at
+   * local[32], collapsing the politeness-gated scaling pairs to
+   * 0.27-0.41 vs 0.51-0.61 ungated). The state is O(hosts-ever-popped)
+   * (~32 B/host); beyond `broadcastStateMax` hosts it falls back to
+   * [[flagAdmissionsWindow]] — at that scale the popped set is enormous
+   * too and the relative window cost shrinks.
+   */
+  def flagAdmissions(popped: org.apache.spark.sql.DataFrame,
       state: org.apache.spark.sql.DataFrame, roundId: Long,
       ratePerRound: Double, burst: Double,
-      broadcastStateMax: Int = 20000000):
-      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+      broadcastStateMax: Int = 20000000): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    // Admission is a PER-HOST decision and the pop output is already
-    // host-clustered (bucket files cluster by hash(host)) — so admit
-    // PARTITION-LOCALLY against a broadcast state map instead of the
-    // round-2 window form, which shuffled and sorted the ENTIRE popped set
-    // on host every round (measured: the window + its re-execution by the
-    // state-write job added ~+75% round wall at local[32], collapsing the
-    // politeness-gated scaling pairs to 0.27-0.41 vs 0.51-0.61 ungated).
-    // The state is O(hosts-ever-popped) (~32 B/host); beyond
-    // `broadcastStateMax` hosts fall back to the window form — at that
-    // scale the popped set is enormous too and the relative window cost
-    // shrinks.
     val stateRows = state.select("host", "tokens", "last_round")
       .limit(broadcastStateMax + 1).collect()
     if (stateRows.length > broadcastStateMax)
-      return throttleRoundWindow(popped, state, roundId, ratePerRound, burst)
+      return flagAdmissionsWindow(popped, state, roundId, ratePerRound, burst)
     val m = new java.util.HashMap[String, (Double, Long)](stateRows.length * 2)
     stateRows.foreach(r => m.put(r.getString(0), (r.getDouble(1), r.getLong(2))))
     val bc = popped.sparkSession.sparkContext.broadcast(m)
-    implicit val enc = Encoders.product[PopEntry]
+    implicit val enc = Encoders.product[FlaggedEntry]
+    implicit val inEnc = Encoders.product[PopEntry]
     val cols = Seq("url", "host", "host_bucket", "depth", "discovered_at")
-    val admitted = popped.select(cols.map(org.apache.spark.sql.functions.col): _*)
+    popped.select(cols.map(org.apache.spark.sql.functions.col): _*)
       .as[PopEntry]
       .mapPartitions { it =>
         // rows of a host live in ONE partition; group, then admit the
         // per-host floor(tokens) in (depth, discovered_at, url) priority
-        // order — identical output to the window form's rn <= floor(...)
+        // order — identical verdicts to the window form's rn <= floor(...)
         val byHost = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[PopEntry]]()
         it.foreach { e =>
           var b = byHost.get(e.host)
@@ -136,47 +149,31 @@ object Politeness {
             tok + math.max(0L, roundId - last) * ratePerRound)
           val admit = math.floor(refilled).toInt
           val buf = en.getValue
-          if (admit >= buf.length) buf.iterator
-          else if (admit <= 0) Iterator.empty
-          else buf.sortInPlace()(
-            Ordering.by((e: PopEntry) => (e.depth, e.discovered_at, e.url)))
-            .take(admit).iterator
+          val flags: Iterator[(PopEntry, Boolean)] =
+            if (admit >= buf.length) buf.iterator.map(_ -> true)
+            else if (admit <= 0) buf.iterator.map(_ -> false)
+            else buf.sortInPlace()(
+              Ordering.by((e: PopEntry) => (e.depth, e.discovered_at, e.url)))
+              .iterator.zipWithIndex.map { case (e, i) => e -> (i < admit) }
+          flags.map { case (e, a) =>
+            FlaggedEntry(e.url, e.host, e.host_bucket, e.depth, e.discovered_at, a) }
         }
       }
       .toDF()
-      .select(popped.columns.map(col).toIndexedSeq: _*)
-    // state update from TINY per-host aggregates (map-side combined over
-    // the popped/admitted caches) — never a second pass over row data
-    val perHost = popped.groupBy(col("host")).agg(count(lit(1)).as("popped_n"))
-    val admPerHost = admitted.groupBy(col("host")).agg(count(lit(1)).as("adm_n"))
-    val touched = perHost
-      .join(state, Seq("host"), "left")
-      .join(admPerHost, Seq("host"), "left")
-      .withColumn("refilled", least(lit(burst),
-        coalesce(col("tokens"), lit(burst)) +
-          greatest(lit(0L), lit(roundId) - coalesce(col("last_round"), lit(roundId - 1)))
-            * ratePerRound))
-      .select(col("host"),
-        (col("refilled") - coalesce(col("adm_n"), lit(0L))).as("tokens"),
-        lit(roundId).as("last_round"))
-    // hosts not popped this round carry their state; they refill lazily on
-    // next appearance (rate × rounds-since-last is exactly the missed refill)
-    val carried = state.join(perHost.select("host"), Seq("host"), "left_anti")
-    (admitted, touched.unionByName(carried))
+      .select((popped.columns.toIndexedSeq :+ "admit").map(col): _*)
   }
 
-  /** The round-2 window formulation — the fallback when the state exceeds
-    * the broadcast budget, and the equivalence reference for the
-    * partition-local form (StreamingSpec). Shuffles + sorts the whole
-    * popped set on host; correct at any state size, ~2× round cost at
-    * local[32]. */
-  def throttleRoundWindow(popped: org.apache.spark.sql.DataFrame,
+  /** The round-2 window formulation of the verdicts — the fallback when
+    * the state exceeds the broadcast budget, and the equivalence reference
+    * for the partition-local form (StreamingSpec). Shuffles + sorts the
+    * whole popped set on host; correct at any state size, ~2× round cost
+    * at local[32]. */
+  def flagAdmissionsWindow(popped: org.apache.spark.sql.DataFrame,
       state: org.apache.spark.sql.DataFrame, roundId: Long,
-      ratePerRound: Double, burst: Double):
-      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+      ratePerRound: Double, burst: Double): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
-    val joined = popped
+    popped
       .join(state, Seq("host"), "left")
       .withColumn("refilled", least(lit(burst),
         coalesce(col("tokens"), lit(burst)) +
@@ -184,13 +181,58 @@ object Politeness {
             * ratePerRound))
       .withColumn("rn", row_number().over(Window.partitionBy(col("host"))
         .orderBy(col("depth"), col("discovered_at"), col("url"))))
-    val admitted = joined.filter(col("rn") <= floor(col("refilled")))
-      .select(popped.columns.map(col).toIndexedSeq: _*)
-    val touched = joined.groupBy(col("host")).agg(
-      (max(col("refilled")) -
-        sum(when(col("rn") <= floor(col("refilled")), 1).otherwise(0))).as("tokens"),
-      max(lit(roundId)).as("last_round"))
-    val carried = state.join(popped.select("host").distinct(), Seq("host"), "left_anti")
-    (admitted, touched.unionByName(carried))
+      .withColumn("admit", col("rn") <= floor(col("refilled")))
+      .select((popped.columns.toIndexedSeq :+ "admit").map(col): _*)
+  }
+
+  /** Next round's full state table from a [[flagAdmissions]] frame: one
+    * TINY per-host aggregate (map-side combined over the caller's cache —
+    * never a second row-data pass) joined against the previous state.
+    * Hosts not popped this round carry their state; they refill lazily on
+    * next appearance (rate × rounds-since-last is exactly the missed
+    * refill). */
+  def nextState(flagged: org.apache.spark.sql.DataFrame,
+      state: org.apache.spark.sql.DataFrame, roundId: Long,
+      ratePerRound: Double, burst: Double): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val perHost = flagged.groupBy(col("host")).agg(
+      sum(when(col("admit"), 1L).otherwise(0L)).as("adm_n"))
+    val touched = perHost
+      .join(state, Seq("host"), "left")
+      .withColumn("refilled", least(lit(burst),
+        coalesce(col("tokens"), lit(burst)) +
+          greatest(lit(0L), lit(roundId) - coalesce(col("last_round"), lit(roundId - 1)))
+            * ratePerRound))
+      .select(col("host"),
+        (col("refilled") - col("adm_n")).as("tokens"),
+        lit(roundId).as("last_round"))
+    val carried = state.join(perHost.select("host"), Seq("host"), "left_anti")
+    touched.unionByName(carried)
+  }
+
+  /** Tuple-form compatibility wrapper over [[flagAdmissions]] +
+    * [[nextState]] (the crawler uses the flag form directly so ONE cache
+    * serves admitted rows, counts, and the state update). */
+  def throttleRound(popped: org.apache.spark.sql.DataFrame,
+      state: org.apache.spark.sql.DataFrame, roundId: Long,
+      ratePerRound: Double, burst: Double,
+      broadcastStateMax: Int = 20000000):
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val flagged = flagAdmissions(popped, state, roundId, ratePerRound, burst,
+      broadcastStateMax)
+    (flagged.filter(col("admit")).drop("admit"),
+      nextState(flagged, state, roundId, ratePerRound, burst))
+  }
+
+  /** Window-form tuple wrapper — the StreamingSpec equivalence reference. */
+  def throttleRoundWindow(popped: org.apache.spark.sql.DataFrame,
+      state: org.apache.spark.sql.DataFrame, roundId: Long,
+      ratePerRound: Double, burst: Double):
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val flagged = flagAdmissionsWindow(popped, state, roundId, ratePerRound, burst)
+    (flagged.filter(col("admit")).drop("admit"),
+      nextState(flagged, state, roundId, ratePerRound, burst))
   }
 }
