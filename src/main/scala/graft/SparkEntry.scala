@@ -310,6 +310,17 @@ object SparkEntry {
           round(avg(col("byte_size")), 2).as("avg_bytes"),
           round(avg(col("f0")), 6).as("avg_f0"))
         .orderBy("kind")
+    }),
+
+    // Dedup GROUPS: connected components (alternating large-star /
+    // small-star) over the complete-recall Jaccard pair set — every doc
+    // labeled with its component-min representative and a one-per-group
+    // keep flag. The oracle replays the transitive closure with a
+    // recursive CTE over the same brute-force pair set.
+    "q33_dedup_groups" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
+      Dedup.dedupGroups(docs, pairs).orderBy("doc_id")
     }))
 
   /** q30's oracle: the full IVF pipeline — seeded k-means (4 Lloyd
@@ -661,7 +672,29 @@ object SparkEntry {
     // Block count and avg_bytes are INTERPOLATED from the same constants
     // mediaFromDocs uses (ADVICE r2: the round-2 literal 16/264 silently
     // coupled to the default and broke if it moved).
-    "q32_media_features" -> q32OracleSql)
+    "q32_media_features" -> q32OracleSql,
+    // transitive closure of the q24 brute-force pair set (threshold 0.5):
+    // reach(id, lbl) walks edges from each doc's reachable labels under
+    // UNION set semantics (terminates — finite node set), min reachable
+    // label = the component representative the star contraction converges
+    // to on the Spark side
+    "q33_dedup_groups" ->
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+        |sh AS (SELECT doc_id, $shingleSql AS s FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND round(len(list_intersect(a.s, b.s))::DOUBLE
+        |              / len(list_distinct(a.s || b.s))::DOUBLE, 6) >= 0.5),
+        |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+        |          UNION SELECT b_id, a_id FROM pairs),
+        |reach(id, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.id, e.v FROM reach r JOIN edges e ON e.u = r.lbl)
+        |SELECT id AS doc_id, min(lbl) AS group_id, (min(lbl) = id) AS keep
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)
 
   private def q32OracleSql: String = {
     import graft.operators.Multimodal.{defaultBytesPerDoc, headerBytes}

@@ -237,4 +237,94 @@ object Dedup {
   def survivors(docs: DataFrame, pairs: DataFrame): DataFrame =
     docs.join(pairs.select(col("b_id").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
+
+  /**
+   * Connected components over an undirected pair set `(a_id, b_id)` —
+   * the grouping step that turns pairwise near-dup evidence into dedup
+   * GROUPS (transitive closure), via the alternating large-star /
+   * small-star contraction of Kiveris et al., "Connected Components in
+   * MapReduce and Beyond" (SoCC'14). Each iteration is two map-side-
+   * combinable `groupBy(min)` aggregates plus two streaming equi-joins —
+   * NO collect_list neighborhood materialization, so a 10^9-degree hub
+   * node streams through one join partition instead of building a
+   * 10^9-element array (the classic CC-in-Spark OOM). Converges in
+   * O(log n) iterations to a forest of stars rooted at each component's
+   * minimum id; near-dup graphs (tiny, dense clusters) typically finish
+   * in 2-4.
+   *
+   * The driver loop compares a (count, hash-xor) checksum per iteration —
+   * one tiny aggregate job, never row data — and each iteration's edge
+   * set is `localCheckpoint`ed (eager): persist alone caches EXECUTION
+   * but the LOGICAL plan still nests ~20× per iteration, so by iteration
+   * ~6 Catalyst analysis time explodes exponentially (measured: a 40-node
+   * test graph hung the suite). The checkpoint truncates the plan to the
+   * materialized partitions each round. On a production cluster prefer
+   * reliable `checkpoint()` (localCheckpoint pins executor storage and
+   * does not survive executor loss — acceptable here, a failed iteration
+   * just reruns the job).
+   *
+   * @return one row per node appearing in `pairs`: (u, label) with
+   *         label = min doc_id of u's component.
+   */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val p0 = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+    def symmetric(p: DataFrame): DataFrame =
+      p.union(p.select(col("v").as("u"), col("u").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+    // large-star: every node v ∈ Γ(u) with v > u re-attaches to
+    // m(u) = min(Γ(u) ∪ {u}). Input must be the symmetric closure.
+    def largeStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      e.filter(col("v") > col("u")).join(mins, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v")) // m < v always: no loops
+    }
+    // small-star: each undirected edge assigned to its LARGER endpoint u;
+    // u and its smaller neighbors all re-attach to m(u) = min of them.
+    def smallStar(e: DataFrame): DataFrame = {
+      val el = e.filter(col("v") < col("u"))
+      val mins = el.groupBy("u").agg(min("v").as("m"))
+      el.join(mins, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+    }
+    def checksum(e: DataFrame): (Long, Long) = {
+      // bit_xor: order-independent over the distinct edge set and immune
+      // to ANSI-mode sum overflow (xxhash64 spans the full long range)
+      val r = e.agg(count(lit(1)),
+        call_function("bit_xor", xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var e = symmetric(p0).localCheckpoint(true)
+    var sig = checksum(e)
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      val next = symmetric(smallStar(symmetric(largeStar(e)))).localCheckpoint(true)
+      val nextSig = checksum(next)
+      if (nextSig == sig) converged = true
+      else { e = next; sig = nextSig }
+      it += 1
+    }
+    // fixpoint is a star forest: every node's min neighbor IS its root
+    val labels = e.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u"), least(col("mn"), col("u")).as("label"))
+    labels
+  }
+
+  /** Dedup groups for a corpus: every doc labeled with its near-dup
+    * component representative (`group_id` = component min; singletons are
+    * their own group) and a deterministic one-per-group `keep` flag — the
+    * transitive-closure generalization of [[survivors]] (which keeps every
+    * doc never appearing as a pair's b_id, and so can keep two docs that
+    * are linked only transitively). */
+  def dedupGroups(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(pairs)
+    docs.select(col("doc_id"))
+      .join(cc.select(col("u").as("doc_id"), col("label")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("group_id"))
+      .withColumn("keep", col("doc_id") === col("group_id"))
+  }
 }

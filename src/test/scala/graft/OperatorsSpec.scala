@@ -243,4 +243,64 @@ class OperatorsSpec extends AnyFunSuite {
     val resized = Multimodal.resizeStub(media, 64).collect()
     resized.foreach(m => assert(m.bytes.length <= 64))
   }
+
+  // ---- dedup groups (connected components) ----
+
+  /** Driver-side union-find oracle: component-min label per node. */
+  private def unionFindLabels(edges: Seq[(String, String)]): Map[String, String] = {
+    val parent = scala.collection.mutable.Map.empty[String, String]
+    def find(x: String): String = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(if (ra < rb) rb else ra) = if (ra < rb) ra else rb
+    }
+    parent.keys.map(n => n -> find(n)).toMap
+  }
+
+  test("connectedComponents ≡ union-find on seeded random graphs") {
+    for ((n, m, seed) <- Seq((40, 25, 1L), (60, 80, 2L), (30, 60, 3L))) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (0 until m).map { _ =>
+        (f"n${rnd.nextInt(n)}%03d", f"n${rnd.nextInt(n)}%03d")
+      }.filter(e => e._1 != e._2)
+      val want = unionFindLabels(edges)
+      val got = Dedup.connectedComponents(
+        edges.toDF("a_id", "b_id")).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got == want, s"cc mismatch at n=$n m=$m seed=$seed")
+    }
+  }
+
+  test("connectedComponents: worst-case chain converges in O(log n) iterations") {
+    // a 64-node path is the adversarial diameter case for naive label
+    // propagation (64 rounds); the star alternation must finish well
+    // inside maxIter=10 ≈ log2(64)+slack and label everything with n000
+    val chain = (0 until 63).map(i => (f"n$i%03d", f"n${i + 1}%03d"))
+    val got = Dedup.connectedComponents(chain.toDF("a_id", "b_id"), maxIter = 10)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got.size == 64 && got.values.forall(_ == "n000"))
+  }
+
+  test("dedupGroups: transitive near-dup cluster keeps one representative, singletons keep themselves") {
+    val docs = corpus().select(format_string("d%02d", col("doc_id")).as("doc_id"),
+      col("text"))
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
+    val g = Dedup.dedupGroups(docs, pairs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    val byId = g.map(t => t._1 -> t).toMap
+    // docs 0/1 are exact dupes, 2 a near-dup of 0 ⇒ one group under d00
+    assert(byId("d00") == (("d00", "d00", true)))
+    assert(byId("d01") == (("d01", "d00", false)))
+    assert(byId("d02") == (("d02", "d00", false)))
+    // every doc appears exactly once; keep ⇔ own group representative
+    assert(g.length == docs.count())
+    assert(g.forall { case (id, grp, keep) => keep == (id == grp) })
+    // exactly one keeper per group
+    g.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.count(_._3) == 1)
+    }
+  }
 }
