@@ -15,8 +15,8 @@ object CrawlBenchProbe {
     for (cores <- levels) {
       val r = Bench.crawlBench(cores, seeds, rounds)
       println(f"[probe] cores=$cores urls=${r.popped} sec=${r.sec}%.2f " +
-        f"rate=${r.popped / r.sec}%.0f rounds=${r.rounds.map { case (p, s) =>
-          f"($p,$s%.1fs)" }.mkString(",")}")
+        f"rate=${r.popped / r.sec}%.0f rounds=${r.rounds.map { case (p, s, c) =>
+          f"($p,$s%.1fs,${c}%.1fcpu)" }.mkString(",")}")
     }
   }
 }
