@@ -326,6 +326,38 @@ object Bench {
           None
         } else Some((one(nLow), one(cpus)))
       }
+    // ---- contention-isolated auxiliary pair (cpus/8 → cpus/2) ----
+    // local[8]→local[32] on a 32-vCPU host-shared VM measures the HOST's
+    // oversubscription as much as the engine: the same-window sha256 probe
+    // itself scales only 0.57-0.86, and the memory bus is shared — a real
+    // N→4N cluster adds whole MACHINES (per-node CPU and memory bandwidth
+    // both scale). At 4→16 threads the host can genuinely provide ~4× the
+    // resource, making this the closest sandbox analogue of true cluster
+    // scale-out; measured round-3: the identical workload+estimators give
+    // 0.77 raw here vs 0.55 at 8→32. Reported as `iso` next to the
+    // headline so readers can split engine scaling from host ceiling.
+    val isoReps = sys.env.getOrElse("GRAFT_BENCH_ISO_REPS", "1").toInt
+    val isoDeadline = sys.env.getOrElse("GRAFT_BENCH_ISO_DEADLINE_SEC", "2400").toLong
+    val isoLow = math.max(1, cpus / 8)
+    val isoHigh = math.max(2 * isoLow, cpus / 2)
+    val isoRounds = math.min(rounds, 1)
+    val isoPairs: Seq[((CrawlSample, Double, Double), (CrawlSample, Double, Double))] =
+      if (skipCrawl) Seq.empty
+      else (1 to isoReps).flatMap { _ =>
+        if ((System.nanoTime() - crawlT0) / 1e9 > isoDeadline) {
+          System.err.println(s"[bench] iso deadline ${isoDeadline}s reached — skipping iso pair")
+          None
+        } else {
+          def oneIso(cores: Int): (CrawlSample, Double, Double) = {
+            val r = crawlBench(cores, seedCount, isoRounds)
+            deleteRecursively(new java.io.File("/dev/shm/graft-spark-local"))
+            val hw = cpuCeiling(cores)
+            System.err.println(s"[bench] iso cores=$cores rate=${r.popped / r.sec}")
+            (r, hw, 0.0)
+          }
+          Some((oneIso(isoLow), oneIso(isoHigh)))
+        }
+      }
     def bestOf(side: Seq[CrawlSample]): (Long, Double) =
       if (side.isEmpty) (1L, 1.0)
       else { val b = side.minBy(r => r.sec / r.popped); (b.popped, b.sec) }
@@ -383,6 +415,23 @@ object Bench {
     val eff = median(pairEffs)
     val hwEff = median(pairHwEffs)
     val effBestOf = thrHigh / (thrLow * scale)
+    val isoJson: String =
+      if (isoPairs.isEmpty) "null"
+      else {
+        val isoScale = isoHigh.toDouble / isoLow
+        val effs = isoPairs.map { case ((lo, _, _), (hi, _, _)) =>
+          (hi.popped / hi.sec) / ((lo.popped / lo.sec) * isoScale)
+        }
+        val hwE = isoPairs.map { case ((_, hwLo, _), (_, hwHi, _)) => hwHi / (hwLo * isoScale) }
+        val (isoPopLo, isoSecLo) = bestOf(isoPairs.map(_._1._1))
+        val (isoPopHi, isoSecHi) = bestOf(isoPairs.map(_._2._1))
+        s"""{"n_cores":$isoLow,"n4_cores":$isoHigh,""" +
+          s""""urls_per_sec_n":${isoPopLo / isoSecLo},""" +
+          s""""urls_per_sec_n4":${isoPopHi / isoSecHi},""" +
+          s""""pair_efficiencies":${effs.mkString("[", ",", "]")},""" +
+          s""""scaling_efficiency":${median(effs)},""" +
+          s""""hw_ceiling_efficiency":${median(hwE)}}"""
+      }
 
     // ---- driver-contract query suite ----
     val spark = session(cpus)
@@ -432,7 +481,8 @@ object Bench {
         s""""parallel_efficiency":${median(pairParallelEff)},""" +
         s""""pair_cpu_work_ratio":${pairCpuWorkRatio.mkString("[", ",", "]")},""" +
         s""""raw_rounds_n":${rawJson(pairs.map(_._1._1))},""" +
-        s""""raw_rounds_n4":${rawJson(pairs.map(_._2._1))}}"""
+        s""""raw_rounds_n4":${rawJson(pairs.map(_._2._1))},""" +
+        s""""iso":$isoJson}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""sf":"$sfDir","crawl":$crawlJson}""")
     spark.stop()

@@ -35,7 +35,11 @@ import java.nio.file.{Files, Paths}
  *    append-only seen archive the round they are fetched — per-round
  *    write I/O is O(pool + delta), never O(ever-seen) (at 10^10 the
  *    ever-seen set dwarfs the live pool); see [[IcebergishTable]] for
- *    the MERGE-INTO swap point;
+ *    the MERGE-INTO swap point. The archive never re-enters the merge
+ *    SHUFFLE either: re-discovered archived urls are dropped by an exact
+ *    partition-local membership probe over the bucket's own archive
+ *    slice ([[graft.frontier.SeenIndex]]) — per-round shuffle volume is
+ *    likewise O(pool + delta), never O(ever-seen);
  *  - nothing collects rows to the driver except ≤P lineage counters.
  */
 class Crawler(
@@ -240,9 +244,13 @@ class Crawler(
     //     with the fetch; joined before the manifest rename so a torn
     //     round replays it idempotently (the overwrite of round=r).
     @volatile var seenWriteError: Throwable = null
+    // partitionBy(host_bucket): each archive round is laid out per bucket,
+    // so the SeenIndex (partition-local exact membership — see below) can
+    // read ONLY its own bucket's slice, column-pruned to `url`
     val seenWrite = new Thread(() =>
       try popped.withColumn("last_visit", lit(r.toLong))
         .write.mode(SaveMode.Overwrite).options(writerOptions)
+        .partitionBy("host_bucket")
         .parquet(s"$seenDir/round=$r")
       catch { case e: Throwable => seenWriteError = e })
     seenWrite.setName(s"seen-archive-r$r")
@@ -375,27 +383,35 @@ class Crawler(
       else timed("cand-buckets")(
         cands.select("host_bucket").distinct().collect().map(_.getInt(0)).toSet) ++
         poppedBuckets
-    // the merge's identity resolution (first-seen wins) must see EVERY
-    // ever-seen url of the dirty buckets — live pool rows AND archived
-    // rows (a candidate re-discovering either must die). Archived rows
-    // flow through the shuffle but are DROPPED from the output: the
-    // archive already holds them immutably, so the commit writes only
-    // pool rows (last_visit == 0) — the write stays O(pool + delta).
+    // the merge's identity resolution (first-seen wins) must kill a
+    // candidate re-discovering ANY ever-seen url. Live pool rows take part
+    // in the aggregation; ARCHIVED urls do NOT ride the shuffle — that was
+    // O(ever-seen) rows per round, unbounded with crawl age (round-3
+    // decomposition). Instead, re-discoveries of archived urls are dropped
+    // AFTER the aggregation by `seen_index_contains`: an exact,
+    // partition-local probe of this bucket's archive slice (the merge
+    // output is token-partitioned 1:1 bucket→partition, so the task's
+    // partitionIndex IS the bucket — see graft.frontier.SeenIndex).
+    // Per-round merge volume is O(pool + delta), never O(ever-seen).
     val frontierDirty =
-      if (dense) pool.unionByName(seen())
-      else pool.unionByName(seen())
-        .filter(col("host_bucket").isin(dirty.toSeq.map(Int.box): _*))
+      if (dense) pool
+      else pool.filter(col("host_bucket").isin(dirty.toSeq.map(Int.box): _*))
+    val dropArchived = (df: DataFrame) => df.filter(
+      !graft.functions.GraftExpressions.seen_index_contains(col("url"), seenDir, r - 1))
     // optional per-partition cuckoo refinement (north rule): provably-new
     // candidates bypass the exact merge aggregation; correctness never
     // depends on it (advisory only — see SeenFilterStore)
     // mergeRound's output is already bucket-hash-partitioned — the commit
     // reuses that exchange (preClustered) unless the seen-filter union
-    // broke it; the pool filter below preserves it
+    // broke it; the pool filter below preserves it. dropArchived applies
+    // BEFORE that union (the union would break the partition→bucket
+    // binding the index depends on; provably-new rows can't be archived).
     val merged =
       if (cfg.useSeenFilter) {
         val (provablyNew, maybeSeen) = seenFilters.split(spark, r - 1, cands)
-        Frontier.mergeRound(frontierDirty, maybeSeen, popped, r, cfg.numBuckets).unionByName(provablyNew)
-      } else Frontier.mergeRound(frontierDirty, cands, popped, r, cfg.numBuckets)
+        dropArchived(Frontier.mergeRound(frontierDirty, maybeSeen, popped, r, cfg.numBuckets))
+          .unionByName(provablyNew)
+      } else dropArchived(Frontier.mergeRound(frontierDirty, cands, popped, r, cfg.numBuckets))
     val poolNext = merged.filter(col("last_visit") === 0L)
     // the overlapped politeness-state and seen-archive writes must land
     // BEFORE the atomic manifest rename — torn-round replay consistency

@@ -221,4 +221,29 @@ class CrawlerSpec extends AnyFunSuite {
     val docIds = c.docs().select("doc_id").collect().map(_.getString(0))
     assert(docIds.length == docIds.distinct.length, "duplicate docs")
   }
+
+  test("seen index: archived urls never re-enter the pool (merge shuffles O(pool+delta))") {
+    // small dense web → every round re-discovers mostly already-visited
+    // pages, exercising the partition-local archive probe that replaced
+    // the O(ever-seen) archive union in the merge shuffle
+    val dir = tmpDir()
+    val sim = new FetchSim(numHosts = 6, pagesPerHost = 8, linksPerPage = 5)
+    val c = new Crawler(spark, dir, sim, CrawlConfig(
+      numBuckets = 8, perHostBudget = 3, perBucketBudget = 100))
+    c.addSeeds(sim.seedUrls(6))
+    (1 to 5).foreach(_ => c.round())
+    val pool = c.frontierTable.read(spark).select("url")
+    val archived = c.seen().select("url")
+    // disjointness: a url is in the live pool XOR ever-visited
+    assert(pool.join(archived, Seq("url"), "inner").count() == 0,
+      "archived url re-entered the live pool")
+    // the ever-seen view stays duplicate-free (first-seen dedup exact)
+    val f = c.frontier()
+    assert(f.count() == f.select("url").distinct().count())
+    // archive layout is bucket-partitioned for the partition-local index
+    import scala.jdk.CollectionConverters._
+    assert(java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$dir/seen/round=1")).iterator().asScala
+      .exists(_.getFileName.toString.startsWith("host_bucket=")))
+  }
 }
