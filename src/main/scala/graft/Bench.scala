@@ -128,7 +128,10 @@ object Bench {
       // 3-pair campaign still fits the deadline; seeds default 27M to keep
       // per-host supply statistics identical to the historical 9M/20000.
       val benchHosts = sys.env.getOrElse("GRAFT_BENCH_HOSTS", "60000").toInt
-      val sim = new FetchSim(numHosts = benchHosts, pagesPerHost = 500, linksPerPage = 6)
+      // screenshotPayloads off: storeFiles is off below, so nothing reads
+      // the 256 B payloads — skip allocating them (refs/events unchanged)
+      val sim = new FetchSim(numHosts = benchHosts, pagesPerHost = 500,
+        linksPerPage = 6, screenshotPayloads = false)
       // storeFiles off: the BASELINE.json metric is FRONTIER fetch-round
       // throughput; millions of tiny tmpfs body files per round would
       // measure the filesystem, not the engine (body-store wall time is
@@ -270,11 +273,10 @@ object Bench {
     // config had, and the shorter level keeps 3 N→4N pairs (the median's
     // noise protection) inside the deadline at the larger round size
     val rounds = sys.env.getOrElse("GRAFT_BENCH_ROUNDS", "2").toInt
-    // 4 pairs by default: the 32-core side swings ±35% between IDENTICAL
-    // consecutive rounds on this host, so the median over 3 pairs still
-    // carries one noise pair's weight; the 4th costs ~6 min and the
-    // deadline guard below sheds it in a bad window
-    val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "4").toInt
+    // 3 pairs by default (median still absorbs one noise pair); the
+    // auxiliary contention-isolated pair below replaces the 4th pair's
+    // noise protection at equal cost and adds attribution the 4th cannot
+    val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "3").toInt
     val skipCrawl = sys.env.contains("GRAFT_BENCH_SKIP_CRAWL")
     // throwaway session: C2-tier JIT of the whole fetch/frontier path
     // matures across sessions inside this JVM — without this the FIRST

@@ -22,7 +22,13 @@ class FetchSim(
     val pagesPerHost: Int = 50,
     val linksPerPage: Int = 4,
     val chainLength: Int = 100,
-    val seed: Long = 42L)
+    val seed: Long = 42L,
+    /** When false, `screenshot_bytes` payloads are omitted (refs and every
+      * other event are unchanged). Benches that run with the content store
+      * off (`storeFiles = false`) skip generating 256 B + a hex-string
+      * chain per URL that nothing would read — allocation bandwidth is the
+      * contended resource at high thread counts. */
+    val screenshotPayloads: Boolean = true)
     extends Serializable {
 
   import FetchSim._
@@ -119,34 +125,47 @@ class FetchSim(
 
   /** Deterministic html body with `linksPerPage` anchors: ~70% same-host
     * relative hrefs, rest absolute cross-host with a deliberate hot-host
-    * bias (skew). */
+    * bias (skew). Byte-identical to the interpolation form it replaces —
+    * the hot path builds straight into one StringBuilder and extends the
+    * streaming FNV instead of allocating a `"$url#$i"` string per link. */
   private def synthBody(url: String, hostIdx: Int, h0: Long): String = {
-    val sb = new java.lang.StringBuilder("<html><body>")
-    var h = h0
+    val sb = new java.lang.StringBuilder(96 + 40 * linksPerPage)
+    sb.append("<html><body>")
+    // fnv1a("$seed|$url#") once; per link extend with the digits of i
+    val urlHash = fnv1aCont(fnv1aCont(seedPrefixHash, url), "#")
     var i = 0
     while (i < linksPerPage) {
-      h = mix(s"$url#$i")
+      val h = fnv1aContInt(urlHash, i)
       val page = ((h >>> 16) % pagesPerHost + pagesPerHost) % pagesPerHost
       val r = ((h % 10) + 10) % 10
-      if (r < 7) sb.append(s"""<a href="/p/$page">p$page</a>""")
+      if (r < 7)
+        sb.append("<a href=\"/p/").append(page).append("\">p")
+          .append(page).append("</a>")
       else {
         val cross = ((h >>> 24) % 10 + 10) % 10
         val th =
-          if (cross < hotHostBias) 0
+          if (cross < hotHostBias) 0L
           else (((h >>> 32) % numHosts) + numHosts) % numHosts
-        sb.append(s"""<a href="http://h$th.test/p/$page">x$page</a>""")
+        sb.append("<a href=\"http://h").append(th).append(".test/p/")
+          .append(page).append("\">x").append(page).append("</a>")
       }
       i += 1
     }
-    sb.append(s"<p>doc ${sha8(url)} ${wordsFor(h0)}</p></body></html>")
+    sb.append("<p>doc ").append(sha8(url)).append(' ')
+    appendWordsFor(sb, h0)
+    sb.append("</p></body></html>")
     sb.toString
   }
 
-  private def wordsFor(h: Long): String = {
-    val dict = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
-      "eta", "theta", "iota", "kappa", "lambda", "mu")
-    (0 until 8).map(i => dict((((h >>> (i * 5)) % dict.length) + dict.length).toInt % dict.length))
-      .mkString(" ")
+  private def appendWordsFor(sb: java.lang.StringBuilder, h: Long): Unit = {
+    var i = 0
+    while (i < 8) {
+      if (i > 0) sb.append(' ')
+      sb.append(FetchSim.dict(
+        (((h >>> (i * 5)) % FetchSim.dict.length) + FetchSim.dict.length).toInt
+          % FetchSim.dict.length))
+      i += 1
+    }
   }
 
   // ---------- event assembly ----------
@@ -178,6 +197,9 @@ class FetchSim(
   private def emptyResp(rid: String, ts: Double): RespEvent =
     RespEvent(rid, 0, Map.empty, "", "http/1.1", "", "", "", "", Seq.empty, "", 0L, 0L, ts)
 
+  private def shotBytes(url: String): Seq[Array[Byte]] =
+    if (screenshotPayloads) Seq(screenshotBytes(url)) else Seq.empty
+
   /** One-action page. */
   private def page(url: String, body: String, mime: String, status: Int = 200,
       tls: Boolean = false): FetchResult = {
@@ -188,7 +210,7 @@ class FetchSim(
     val bodyEv = BodyEvent(rid, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     FetchResult(url, Seq(req), Seq(resp), Seq.empty, Seq(bodyEv), Seq.empty,
       Seq(screenshotRef(url)), 0.0, 0.5, 1.5,
-      Seq(screenshotBytes(url)))
+      shotBytes(url))
   }
 
   /** N-hop same-host redirect chain ending in a 200 with `finalBody`
@@ -197,7 +219,8 @@ class FetchSim(
     val base = new java.net.URI(url)
     val origin = base.getScheme + "://" + base.getHost
     val urls = url +: hops.map(origin + _)
-    val rids = urls.indices.map(i => s"r${i}_" + sha8(url))
+    val h8 = sha8(url)
+    val rids = urls.indices.map(i => s"r${i}_" + h8)
     val reqs = urls.indices.map { i =>
       ReqEvent(rids(i), if (i == 0) "" else rids(i - 1), urls(i), "GET",
         reqHeaders(urls(i)), "", if (i == 0) "user" else "other", "", 0, 0, 0.01 * (i + 1))
@@ -214,7 +237,7 @@ class FetchSim(
       finalBody.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     FetchResult(url, reqs, resps, Seq.empty, Seq(bodyEv), Seq.empty,
       Seq(screenshotRef(url)), 0.0, 0.5, 1.5,
-      Seq(screenshotBytes(url)))
+      shotBytes(url))
   }
 
   /** redirectChain in REAL CDP event shape: hop responses exist ONLY as
@@ -225,7 +248,8 @@ class FetchSim(
     val base = new java.net.URI(url)
     val origin = base.getScheme + "://" + base.getHost
     val urls = url +: hops.map(origin + _)
-    val rids = urls.indices.map(i => s"r${i}_" + sha8(url))
+    val h8 = sha8(url)
+    val rids = urls.indices.map(i => s"r${i}_" + h8)
     val reqs = urls.indices.map { i =>
       val redirResp =
         if (i == 0) None
@@ -241,7 +265,7 @@ class FetchSim(
       finalBody.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     FetchResult(url, reqs, Seq(lastResp), Seq.empty, Seq(bodyEv), Seq.empty,
       Seq(screenshotRef(url)), 0.0, 0.5, 1.5,
-      Seq(screenshotBytes(url)))
+      shotBytes(url))
   }
 
   /** A main request that never receives a response, plus a script-initiated
@@ -331,7 +355,11 @@ class FetchSim(
     out
   }
 
-  private def mix(s: String): Long = fnv1a(s"$seed|$s")
+  /** fnv1a("$seed|") — FNV-1a is a left fold, so hashing a prefix once and
+    * continuing over the suffix equals hashing the concatenation. */
+  private val seedPrefixHash: Long = fnv1a(s"$seed|")
+
+  private def mix(s: String): Long = fnv1aCont(seedPrefixHash, s)
 
   /** Seed-list generator for benches: `count` URLs over the synthetic web. */
   def seedUrls(count: Int): Seq[String] =
@@ -343,8 +371,14 @@ class FetchSim(
 }
 
 object FetchSim {
-  def fnv1a(s: String): Long = {
-    var h = 0xcbf29ce484222325L
+  private[fetch] val dict = Array("alpha", "beta", "gamma", "delta",
+    "epsilon", "zeta", "eta", "theta", "iota", "kappa", "lambda", "mu")
+
+  def fnv1a(s: String): Long = fnv1aCont(0xcbf29ce484222325L, s)
+
+  /** Continue an FNV-1a fold over `s` (h(prefix + s) = fnv1aCont(h(prefix), s)). */
+  def fnv1aCont(h0: Long, s: String): Long = {
+    var h = h0
     var i = 0
     while (i < s.length) {
       h ^= s.charAt(i).toLong
@@ -352,6 +386,23 @@ object FetchSim {
       i += 1
     }
     h
+  }
+
+  /** Continue an FNV-1a fold over the decimal digits of `i` (i ≥ 0) —
+    * identical to fnv1aCont(h0, i.toString) without the allocation. */
+  def fnv1aContInt(h0: Long, i: Int): Long = {
+    if (i >= 10) {
+      val q = i / 10
+      val h = fnv1aContInt(h0, q)
+      val c = ('0' + (i - q * 10)).toChar
+      var x = h ^ c.toLong
+      x *= 0x100000001b3L
+      x
+    } else {
+      var h = h0 ^ ('0' + i).toChar.toLong
+      h *= 0x100000001b3L
+      h
+    }
   }
 
   def sha8(s: String): String = UrlFns.sha256Hex(s).substring(0, 8)

@@ -96,7 +96,18 @@ object SeenIndex {
     val conf = new org.apache.hadoop.conf.Configuration()
     conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
       "message g { optional binary url (UTF8); }")
-    val it = java.nio.file.Files.list(dir).iterator()
+    // materialize + CLOSE the listing stream: an unclosed Files.list holds
+    // the directory fd until GC — at one listing per (bucket, round) per
+    // executor these leaks exhaust the fd limit mid-campaign (measured)
+    val files = {
+      val s = java.nio.file.Files.list(dir)
+      try {
+        val b = Vector.newBuilder[java.nio.file.Path]
+        s.forEach(p => b += p)
+        b.result()
+      } finally s.close()
+    }
+    val it = files.iterator
     while (it.hasNext) {
       val f = it.next()
       if (f.getFileName.toString.endsWith(".parquet")) {

@@ -169,22 +169,119 @@ object UrlFns {
     if (base == null || href == null) return null
     if (!isKeepableHref(href)) return null
     if (href.startsWith("http://") || href.startsWith("https://")) return href
+    val origin = originOf(base)
+    if (origin == null) null else origin + href
+  }
+
+  /** `scheme://host[:port]` of `base`, null if unparseable — the prefix
+    * relative hrefs resolve against. Factored out of [[resolveUrl]] so the
+    * link extractor parses a page's base URL ONCE, not once per href. */
+  def originOf(base: String): String = {
+    if (base == null) return null
     try {
       val u = new java.net.URI(base)
       if (u.getScheme == null || u.getHost == null) return null
       val port = if (u.getPort >= 0) ":" + u.getPort else ""
-      u.getScheme + "://" + u.getHost + port + href
+      u.getScheme + "://" + u.getHost + port
     } catch { case _: Exception => null }
   }
 
-  /** Host (authority minus port) of an absolute URL, null if unparseable. */
+  /** Host (authority minus port) of an absolute URL, null if unparseable.
+    *
+    * Hot path: this backs the codegen'd `url_host` expression the frontier
+    * merge re-materializes for EVERY output row (tens of millions of calls
+    * per round — `java.net.URI` costs ~1 µs and several allocations per
+    * parse). The fast path handles the canonical
+    * `scheme://host[:port][/?#…]` shape with RFC-2396 server-based host
+    * labels (alnum + '-' interior, alnum at label edges, alpha-led top
+    * label — exactly the subset where `URI.getHost` is the lowercased
+    * substring) and digit-only ports; ANYTHING else (userinfo '@', IPv6
+    * '[', '%', '_', trailing dot, bad port…) falls back to `java.net.URI`
+    * so the two paths agree everywhere (property-tested vs URI in
+    * UrlFnsSpec). */
   def hostOf(url: String): String = {
     if (url == null) return null
+    val fast = fastHost(url)
+    if (fast != null) return fast
     try {
       val h = new java.net.URI(url).getHost
       if (h == null) null else h.toLowerCase
     } catch { case _: Exception => null }
   }
+
+  /** Fast-path host extraction; null ⇒ caller must fall back to URI (the
+    * url is unusual, not necessarily invalid). */
+  private def fastHost(url: String): String = {
+    val n = url.length
+    val ss = url.indexOf("://")
+    if (ss <= 0) return null
+    // scheme = alpha *( alphanum | +-. ) — anything else → fallback
+    var i = 0
+    while (i < ss) {
+      val c = url.charAt(i)
+      val ok =
+        if (i == 0) (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+        else (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+          (c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.'
+      if (!ok) return null
+      i += 1
+    }
+    val start = ss + 3
+    var end = start
+    var hasUpper = false
+    var labelStart = start
+    var lastLabelStart = start
+    var c0 = ' '
+    while (end < n && { c0 = url.charAt(end); c0 != '/' && c0 != '?' && c0 != '#' && c0 != ':' }) {
+      val c = c0
+      if (c == '.') {
+        // label must be non-empty and end alnum
+        if (end == labelStart) return null
+        val p = url.charAt(end - 1)
+        if (!isAlnum(p)) return null
+        labelStart = end + 1
+        lastLabelStart = labelStart
+      } else if (isAlnum(c)) {
+        if (c >= 'A' && c <= 'Z') hasUpper = true
+      } else if (c == '-') {
+        if (end == labelStart) return null // label can't start with '-'
+      } else return null // '@', '[', '%', '_', … → URI decides
+      end += 1
+    }
+    if (end == start) return null // empty host
+    // final label: non-empty, ends alnum, and (top label) starts alpha
+    if (end == labelStart) return null // trailing dot → URI decides
+    if (!isAlnum(url.charAt(end - 1))) return null
+    val tl = url.charAt(lastLabelStart)
+    if (!((tl >= 'a' && tl <= 'z') || (tl >= 'A' && tl <= 'Z'))) {
+      // numeric top label: only a full IPv4 literal is a valid host —
+      // let URI adjudicate dotted quads and reject the rest
+      return null
+    }
+    // port, if present, must be all digits up to the path/query/fragment
+    if (end < n && url.charAt(end) == ':') {
+      var j = end + 1
+      var c1 = ' '
+      while (j < n && { c1 = url.charAt(j); c1 != '/' && c1 != '?' && c1 != '#' }) {
+        if (c1 < '0' || c1 > '9') return null
+        j += 1
+      }
+    }
+    if (!hasUpper) url.substring(start, end)
+    else {
+      val out = new Array[Char](end - start)
+      var k = start
+      while (k < end) {
+        val c = url.charAt(k)
+        out(k - start) = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+        k += 1
+      }
+      new String(out)
+    }
+  }
+
+  @inline private def isAlnum(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
 
   /** Magic-byte mime sniff — subset of Go http.DetectContentType
     * (store/file.go:125). Operates on the first 512 bytes. */

@@ -140,10 +140,10 @@ class IcebergishTable(val root: String, schema: StructType,
     val conf = spark.sessionState.newHadoopConf()
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
     val written: Map[Int, BucketEntry] = timed("footers")(
-      listBucketDirs(s"$root/$dataDir").par(16) { case (bucket, dir) =>
+      listBucketDirs(s"$root/$dataDir").par(32) { case (bucket, dir) =>
         var rows = 0L
         var files = 0
-        Files.list(dir).iterator().asScala
+        listDir(dir).iterator
           .filter(_.getFileName.toString.endsWith(".parquet"))
           .foreach { f =>
             if (Files.size(f) > maxSplit)
@@ -203,6 +203,19 @@ class IcebergishTable(val root: String, schema: StructType,
     Snapshot(round, rows, entries)
   }
 
+  /** Materialize a directory listing and CLOSE the stream — an unclosed
+    * `Files.list` keeps the directory fd open until GC finalization, and
+    * at per-bucket/per-round call rates the leaked fds exhaust `ulimit -n`
+    * mid-campaign (measured: bench crash at pair 4). */
+  private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = Files.list(p)
+    try {
+      val b = Vector.newBuilder[java.nio.file.Path]
+      s.forEach(x => b += x)
+      b.result()
+    } finally s.close()
+  }
+
   private implicit class ParOps[A](xs: Seq[A]) {
     /** Fixed-pool parallel map (scala-parallel-collections isn't on the
       * classpath; this is driver-side metadata I/O, not data compute). */
@@ -222,10 +235,9 @@ class IcebergishTable(val root: String, schema: StructType,
   private def listBucketDirs(dataDir: String): Seq[(Int, java.nio.file.Path)] = {
     val d = Paths.get(dataDir)
     if (!Files.exists(d)) return Seq.empty
-    Files.list(d).iterator().asScala
+    listDir(d)
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("hb="))
       .map(p => p.getFileName.toString.stripPrefix("hb=").toInt -> p)
-      .toSeq
   }
 
   /** Row count from the parquet footer (Iceberg-manifest-style stats). */
@@ -240,9 +252,7 @@ class IcebergishTable(val root: String, schema: StructType,
   private def prune(keep: Set[String]): Unit = {
     val dir = Paths.get(root)
     if (!Files.exists(dir)) return
-    val it = Files.list(dir).iterator()
-    while (it.hasNext) {
-      val p = it.next()
+    listDir(dir).foreach { p =>
       val name = p.getFileName.toString
       if (name.startsWith("data-r") && !keep.contains(name))
         deleteRecursively(p)
@@ -250,10 +260,7 @@ class IcebergishTable(val root: String, schema: StructType,
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (Files.isDirectory(p)) {
-      val it = Files.list(p).iterator()
-      while (it.hasNext) deleteRecursively(it.next())
-    }
+    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 }

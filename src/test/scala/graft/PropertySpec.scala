@@ -29,6 +29,38 @@ object ScalarProperties extends Properties("graft.scalars") {
     }
   }
 
+  property("hostOf fast path ≡ java.net.URI on adversarial urls") = {
+    // sweep the fast path's decision edges: case, digits-led labels,
+    // '-' at label edges, ports (valid/invalid/empty), userinfo, IPv6,
+    // '%', '_', trailing dots, empty hosts, weird schemes
+    val label = Gen.oneOf(Gen.const("ab"), Gen.const("A9"), Gen.const("9a"),
+      Gen.const("a-b"), Gen.const("-ab"), Gen.const("ab-"), Gen.const("123"),
+      Gen.const("x_y"), Gen.const("a%2Fb"), Gen.const(""))
+    val hostPart = for {
+      n <- Gen.choose(1, 3)
+      ls <- Gen.listOfN(n, label)
+      trail <- Gen.oneOf("", ".")
+    } yield ls.mkString(".") + trail
+    val authority = Gen.oneOf(
+      hostPart,
+      hostPart.map("user@" + _),
+      Gen.const("[::1]"),
+      hostPart.map(_ + ":80"), hostPart.map(_ + ":"), hostPart.map(_ + ":8x"))
+    val urlGen = for {
+      scheme <- Gen.oneOf("http", "https", "HTTP", "ftp+x", "1bad")
+      a <- authority
+      path <- Gen.oneOf("", "/", "/p/1", "?q=1", "#f")
+    } yield s"$scheme://$a$path"
+    forAll(urlGen) { u =>
+      val viaUri =
+        try {
+          val h = new java.net.URI(u).getHost
+          if (h == null) null else h.toLowerCase
+        } catch { case _: Exception => null }
+      UrlFns.hostOf(u) == viaUri
+    }
+  }
+
   property("resolveUrl absolute-or-null") = {
     val hrefGen = Gen.oneOf(
       Gen.const("/path"), Gen.const("#frag"), Gen.const("javascript:void(0)"),
