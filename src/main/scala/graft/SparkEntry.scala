@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftExpressions
-import graft.operators.{Dedup, Similarity, TextOps}
+import graft.operators.{Corpus, Dedup, Similarity, TextOps}
 
 /**
  * Driver contract (SURVEY.md §7.0): `entry` is the flagship query;
@@ -321,6 +321,47 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
       Dedup.dedupGroups(docs, pairs).orderBy("doc_id")
+    }),
+
+    // Gopher-style repetition statistics: top-2-gram occupancy +
+    // duplicate-5-gram occupancy per doc, with the boilerplate flag.
+    // One tagged explode → two-level aggregation (map-side combine eats
+    // the repeats the operator exists to find).
+    "q34_repetition_stats" -> ((s, dir) => {
+      Corpus.repetitionStats(t(s, dir, "documents"), maxFrac = 0.2)
+        .orderBy("doc_id")
+    }),
+
+    // Train/eval n-gram decontamination (GPT-3 appendix-C style): docs
+    // with doc_id ≡ 7 (mod 10) stand in for the eval benchmark; every
+    // other doc reports its distinct 8-gram overlap with that set. The
+    // eval gram dim broadcasts; the train side streams (no train-gram
+    // shuffle at 100 TB).
+    "q35_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.decontaminate(
+        docs.filter(col("doc_id") % 10 =!= 7),
+        docs.filter(col("doc_id") % 10 === 7), n = 8)
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic stratified sample: 20 docs per language by seeded
+    // md5 draw — the reproducible corpus-mix primitive (the oracle
+    // replays the identical draw, so the sample itself is hash-verified).
+    "q36_stratified_sample" -> ((s, dir) => {
+      Corpus.stratifiedSample(t(s, dir, "documents"), "lang", k = 20)
+        .withColumn("rk", col("rk").cast("long"))
+        .orderBy("stratum", "rk")
+    }),
+
+    // TF-IDF keywords: top-3 tokens per doc by tf·ln(N/df), rounded to 6
+    // decimals then ranked (the round-then-rank discipline every
+    // cross-engine float ranking here uses), ties by token.
+    "q37_tfidf_topk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.tfidfTopK(docs, k = 3, nDocs = docs.count())
+        .withColumn("rk", col("rk").cast("long"))
+        .orderBy("doc_id", "rk")
     }))
 
   /** q30's oracle: the full IVF pipeline — seeded k-means (4 Lloyd
@@ -694,7 +735,80 @@ object SparkEntry {
         |  UNION
         |  SELECT r.id, e.v FROM reach r JOIN edges e ON e.u = r.lbl)
         |SELECT id AS doc_id, min(lbl) AS group_id, (min(lbl) = id) AS keep
-        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // Gopher repetition stats: 2-gram and 5-gram generation mirrors
+    // TextOps.shingles exactly (sequence(1, len-n+1) ≡ range(1, len-n+2)
+    // exclusive; <n-token docs fall back to the whole-doc single gram)
+    "q34_repetition_stats" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(t) >= 2
+        |       THEN [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]
+        |       ELSE [array_to_string(t, ' ')] END AS g2,
+        |  CASE WHEN len(t) >= 5
+        |       THEN [array_to_string(t[i:i+4], ' ') for i in range(1, len(t)-3)]
+        |       ELSE [array_to_string(t, ' ')] END AS g5
+        |FROM toks),
+        |g AS (
+        |  SELECT doc_id, 2 AS n, unnest(g2) AS gram FROM sh
+        |  UNION ALL
+        |  SELECT doc_id, 5 AS n, unnest(g5) AS gram FROM sh),
+        |c AS (SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY doc_id, n, gram),
+        |s AS (SELECT doc_id, n, sum(cnt) AS total, max(cnt) AS top,
+        |             sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup
+        |      FROM c GROUP BY doc_id, n)
+        |SELECT doc_id,
+        |  max(CASE WHEN n = 2 THEN round(top::DOUBLE / total, 6) END) AS top2_frac,
+        |  max(CASE WHEN n = 5 THEN round(dup::DOUBLE / total, 6) END) AS dup5_frac,
+        |  (max(CASE WHEN n = 2 THEN round(top::DOUBLE / total, 6) END) > 0.2
+        |   OR max(CASE WHEN n = 5 THEN round(dup::DOUBLE / total, 6) END) > 0.2)
+        |    AS repetitive
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // decontamination: distinct 8-gram overlap of each train doc
+    // (doc_id % 10 <> 7) with the eval split's distinct gram set
+    "q35_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(t) >= 8
+        |       THEN list_distinct([array_to_string(t[i:i+7], ' ')
+        |                           for i in range(1, len(t)-6)])
+        |       ELSE [array_to_string(t, ' ')] END AS s
+        |FROM toks),
+        |g AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 7)
+        |SELECT doc_id, count(*) AS n_overlap
+        |FROM (SELECT doc_id, gram FROM g WHERE doc_id % 10 <> 7) tr
+        |JOIN ev USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // stratified sample: the identical seeded md5 draw replayed in SQL
+    "q36_stratified_sample" ->
+      """SELECT stratum, doc_id, rk FROM (
+        |  SELECT lang AS stratum, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('strat:42:' || doc_id::VARCHAR), doc_id) AS rk
+        |  FROM documents) WHERE rk <= 20 ORDER BY stratum, rk""".stripMargin,
+
+    // TF-IDF top-3 keywords per doc: round(tf·ln(N/df), 6) then rank,
+    // ties by token — identical round-then-rank on both engines
+    "q37_tfidf_topk" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+        |tfc AS (SELECT doc_id, token, count(*) AS tf
+        |        FROM (SELECT doc_id, unnest(t) AS token FROM toks)
+        |        GROUP BY doc_id, token),
+        |dfc AS (SELECT token, count(*) AS df FROM tfc GROUP BY token),
+        |nd AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, token, tf, df,
+        |         round(tf * ln(n::DOUBLE / df), 6) AS score
+        |  FROM tfc JOIN dfc USING (token), nd
+        |  WHERE round(tf * ln(n::DOUBLE / df), 6) > 0)
+        |SELECT doc_id, token, tf, df, score, rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, token) AS rk FROM scored)
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)
 
   private def q32OracleSql: String = {
     import graft.operators.Multimodal.{defaultBytesPerDoc, headerBytes}
