@@ -362,6 +362,20 @@ object SparkEntry {
       Corpus.tfidfTopK(docs, k = 3, nDocs = docs.count())
         .withColumn("rk", col("rk").cast("long"))
         .orderBy("doc_id", "rk")
+    }),
+
+    // Interleaved-span pipeline (the north rule's input shape + per-row
+    // invariant): deterministic text/media span docs built from the
+    // documents table (md5-derived media refs, the q32 technique), then
+    // per-doc span-sequence statistics and the SEQUENCE FINGERPRINT —
+    // md5 over the in-order span identities, i.e. span-sequence equality
+    // (kind, text, media_ref, order) as a hashable column. Pure per-row
+    // array algebra: no explode, no shuffle, no collect_list ordering
+    // hazards.
+    "q38_span_seq" -> ((s, dir) => {
+      import graft.operators.Spans
+      Spans.spanSeqStats(Spans.spansFromDocs(t(s, dir, "documents")))
+        .orderBy("doc_id")
     }))
 
   /** q30's oracle: the full IVF pipeline — seeded k-means (4 Lloyd
@@ -808,7 +822,32 @@ object SparkEntry {
         |SELECT doc_id, token, tf, df, score, rk FROM (
         |  SELECT *, row_number() OVER (PARTITION BY doc_id
         |    ORDER BY score DESC, token) AS rk FROM scored)
-        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    // span-sequence fingerprint: the identical chunking (8 tokens/span,
+    // every 3rd span media with an md5-derived ref) and the identical
+    // in-order identity fold rebuilt in SQL — the fold acc||ident||'|'
+    // equals array_to_string(idents,'|')||'|' for the ≥1 spans every doc
+    // has
+    "q38_span_seq" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+        |ch AS (SELECT doc_id, t,
+        |  greatest((len(t) + 7) // 8, 1) AS nc FROM toks),
+        |spans AS (SELECT doc_id,
+        |  [CASE WHEN i % 3 = 2
+        |        THEN 'media:m/' || md5(doc_id::VARCHAR || ':' || i)
+        |        ELSE 'text:' || array_to_string(t[i*8+1:i*8+8], ' ') END
+        |   for i in range(0, nc)] AS idents,
+        |  [CASE WHEN i % 3 = 2 THEN 0
+        |        ELSE length(array_to_string(t[i*8+1:i*8+8], ' ')) END
+        |   for i in range(0, nc)] AS chars
+        |  FROM ch)
+        |SELECT doc_id,
+        |  len(idents)::BIGINT AS n_spans,
+        |  len(list_filter(idents, x -> x LIKE 'media:%'))::BIGINT AS n_media,
+        |  list_sum(chars)::BIGINT AS text_chars,
+        |  md5(array_to_string(idents, '|') || '|') AS seq_hash
+        |FROM spans ORDER BY doc_id""".stripMargin)
 
   private def q32OracleSql: String = {
     import graft.operators.Multimodal.{defaultBytesPerDoc, headerBytes}
