@@ -45,9 +45,15 @@ object TextOps {
     size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
 
   /** Best-profile language, 'und' when nothing matches. Ties resolve in
-    * profile order (en > de > fr > es) — deterministic. */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+    * profile order (en > de > fr > es) — deterministic.
+    *
+    * The token array is BOUND once (the [[shingles]] lesson): the CASE
+    * cascade references each profile's hit count ~2× and `greatest` all
+    * of them again — an unbound form re-tokenized the text ~9× per row. */
+  def langId(text: Column): Column =
+    element_at(transform(array(tokens(text)), t => langIdOf(t)), 1)
+
+  private def langIdOf(toks: Column): Column = {
     val scores = langProfiles.map { case (l, ws) => l -> hits(toks, ws) }
     val best = greatest(scores.map(_._2): _*)
     scores.foldRight(lit("und")) { case ((l, s), acc) =>
@@ -64,8 +70,11 @@ object TextOps {
   /** Composite [0,1] quality score: length credit + stopword-ratio credit +
     * punctuation-excess penalty. Formula chosen to be engine-portable
     * (round(…,6) so double math matches across engines). */
-  def qualityScore(text: Column): Column = {
-    val toks = tokens(text)
+  def qualityScore(text: Column): Column =
+    element_at(transform(array(tokens(text)),
+      t => qualityScoreOf(t, text)), 1)
+
+  private def qualityScoreOf(toks: Column, text: Column): Column = {
     val nTok = size(toks).cast("double")
     val stopRatio = hits(toks, stopwords).cast("double") / greatest(nTok, lit(1.0))
     val punct = regexp_count(text, lit("[,.!?;:]")).cast("double")
