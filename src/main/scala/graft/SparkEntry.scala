@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftExpressions
-import graft.operators.{Corpus, Dedup, Similarity, TextOps}
+import graft.operators.{Clean, Corpus, Dedup, Similarity, TextOps}
 
 /**
  * Driver contract (SURVEY.md §7.0): `entry` is the flagship query;
@@ -375,6 +375,49 @@ object SparkEntry {
     "q38_span_seq" -> ((s, dir) => {
       import graft.operators.Spans
       Spans.spanSeqStats(Spans.spansFromDocs(t(s, dir, "documents")))
+        .orderBy("doc_id")
+    }),
+
+    // C4-style line filter over derived 12-token lines: per-doc audit
+    // counts plus the md5 of the reconstructed cleaned text (the oracle
+    // verifies the surviving text itself). Pure per-row array algebra —
+    // rides the scan stage at 100 TB.
+    "q39_line_filter" -> ((s, dir) => {
+      Clean.lineFilter(t(s, dir, "documents"), chunk = 12, minWords = 5)
+        .orderBy("doc_id")
+    }),
+
+    // PII scrub over deterministically injected synthetic PII (the q32
+    // replay-in-SQL technique): match counts per class + md5/length of
+    // the scrubbed text. Per-row regex projection, no shuffle.
+    "q40_pii_scrub" -> ((s, dir) => {
+      Clean.piiScrub(Clean.withSyntheticPii(t(s, dir, "documents")))
+        .orderBy("doc_id")
+    }),
+
+    // RefinedWeb-style cross-corpus sentence dedup: globally-first
+    // occurrence survives (packed (doc,pos) min per sentence hash — one
+    // hash-keyed groupBy + one join-back, both O(sentences)).
+    "q41_sentence_dedup" -> ((s, dir) => {
+      Clean.sentenceDedup(t(s, dir, "documents"), chunk = 10)
+        .orderBy("doc_id")
+    }),
+
+    // GPT-style sequence packing manifest: global token prefix-sum over
+    // the seeded shuffle order via the two-phase range-partition form
+    // (never a no-partition window), cut into 512-token sequences. The
+    // result is P-independent; the oracle replays the same prefix sum as
+    // a window over the same total order.
+    "q42_seq_packing" -> ((s, dir) => {
+      Corpus.packSequences(t(s, dir, "documents"), cap = 512)
+        .orderBy("doc_id")
+    }),
+
+    // Corpus-frequency quality: per-doc mean corpus unigram count +
+    // rare-token fraction — integer-exact by construction (the only
+    // float is one final rounded division).
+    "q43_term_freq_quality" -> ((s, dir) => {
+      Corpus.termFreqQuality(t(s, dir, "documents"), minCount = 2L)
         .orderBy("doc_id")
     }))
 
@@ -847,7 +890,122 @@ object SparkEntry {
         |  len(list_filter(idents, x -> x LIKE 'media:%'))::BIGINT AS n_media,
         |  list_sum(chars)::BIGINT AS text_chars,
         |  md5(array_to_string(idents, '|') || '|') AS seq_hash
-        |FROM spans ORDER BY doc_id""".stripMargin)
+        |FROM spans ORDER BY doc_id""".stripMargin,
+
+    // C4-style line filter: identical 12-token chunking, keep rule
+    // (≥5 tokens AND ≥1 stopword), and cleaned-text reconstruction
+    "q39_line_filter" -> {
+      val stops = TextOps.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+        |lines AS (SELECT doc_id,
+        |  CASE WHEN len(t) > 0
+        |       THEN [t[i*12+1:i*12+12] for i in range(0, (len(t)+11)//12)]
+        |       ELSE []::VARCHAR[][] END AS ls
+        |  FROM toks),
+        |k AS (SELECT doc_id, ls,
+        |  list_filter(ls, l -> len(l) >= 5 AND
+        |    len(list_filter(l, w -> list_contains($stops, w))) > 0) AS kept
+        |  FROM lines),
+        |-- DuckDB's array_to_string of an EMPTY list is NULL where Spark's
+        |-- concat_ws is '' — coalesce pins the zero-kept-lines branch
+        |c AS (SELECT doc_id, ls, kept,
+        |  coalesce(array_to_string(flatten(kept), ' '), '') AS cleaned FROM k)
+        |SELECT doc_id,
+        |  len(ls)::BIGINT AS lines_total,
+        |  len(kept)::BIGINT AS lines_kept,
+        |  round(len(kept)::DOUBLE / greatest(len(ls), 1), 6) AS kept_frac,
+        |  length(cleaned)::BIGINT AS cleaned_chars,
+        |  md5(cleaned) AS cleaned_md5
+        |FROM c ORDER BY doc_id""".stripMargin
+    },
+
+    // PII scrub: identical synthetic injection from doc_id, identical
+    // patterns (the regex subset where Java regex ≡ RE2), counts via
+    // regexp_extract_all, replacement with the 'g' flag, email→ip→phone
+    // order preserved
+    "q40_pii_scrub" ->
+      s"""WITH raw AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 5 = 0
+        |       THEN ' contact u' || doc_id::VARCHAR || '@example.com'
+        |       ELSE '' END ||
+        |  CASE WHEN doc_id % 7 = 0
+        |       THEN ' from 10.' || (doc_id % 200)::VARCHAR || '.0.' ||
+        |            (doc_id % 250)::VARCHAR
+        |       ELSE '' END ||
+        |  CASE WHEN doc_id % 11 = 0
+        |       THEN ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+        |       ELSE '' END AS r
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(regexp_extract_all(r, '${Clean.emailPat}')) AS n_email,
+        |  len(regexp_extract_all(r, '${Clean.ipv4Pat}')) AS n_ip,
+        |  len(regexp_extract_all(r, '${Clean.phonePat}')) AS n_phone,
+        |  regexp_replace(regexp_replace(regexp_replace(r,
+        |    '${Clean.emailPat}', '<EMAIL>', 'g'),
+        |    '${Clean.ipv4Pat}', '<IP>', 'g'),
+        |    '${Clean.phonePat}', '<PHONE>', 'g') AS sc
+        |  FROM raw)
+        |SELECT doc_id, n_email::BIGINT AS n_email, n_ip::BIGINT AS n_ip,
+        |  n_phone::BIGINT AS n_phone, length(sc)::BIGINT AS scrub_len,
+        |  md5(sc) AS scrub_md5
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // sentence dedup: identical 10-token chunking, md5 sentence hash,
+    // packed (doc_id·2^20 + pos) first-occurrence min, copy counting
+    "q41_sentence_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+        |ch AS (SELECT doc_id,
+        |  [array_to_string(t[i*10+1:i*10+10], ' ')
+        |   for i in range(0, (len(t)+9)//10)] AS sents
+        |  FROM toks WHERE len(t) > 0),
+        |s AS (SELECT doc_id, unnest(sents) AS sent,
+        |             unnest(range(0, len(sents))) AS pos FROM ch),
+        |p AS (SELECT doc_id, pos, md5(sent) AS h,
+        |             doc_id * 1048576 + pos AS packed FROM s),
+        |f AS (SELECT h, min(packed) AS fp FROM p GROUP BY h)
+        |SELECT doc_id, count(*)::BIGINT AS n_sent,
+        |  sum(CASE WHEN packed <> fp THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+        |  round(sum(CASE WHEN packed <> fp THEN 1 ELSE 0 END)::DOUBLE
+        |        / count(*), 6) AS dup_frac
+        |FROM p JOIN f USING (h) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // sequence packing: same seeded md5 shuffle order, same exclusive
+    // prefix sum (here a window — fine for DuckDB single-node; Spark's
+    // two-phase form is the distributed equivalent), same integer DIV
+    "q42_seq_packing" ->
+      s"""WITH toks AS (SELECT doc_id, len($toksSql)::BIGINT AS len,
+        |  md5('pack:42:' || doc_id::VARCHAR) AS draw FROM documents),
+        |s AS (SELECT doc_id, len,
+        |  coalesce(sum(len) OVER (ORDER BY draw, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start
+        |  FROM toks)
+        |SELECT doc_id, len AS n_tokens,
+        |  start // 512 AS first_seq,
+        |  CASE WHEN len > 0 THEN (start + len - 1) // 512
+        |       ELSE start // 512 END AS last_seq,
+        |  CASE WHEN len > 0
+        |       THEN (start + len - 1) // 512 - start // 512 + 1
+        |       ELSE 0 END AS n_seqs,
+        |  start % 512 AS seq_offset
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // corpus-frequency quality: identical unigram counts, integer sums,
+    // one rounded division; empty docs keep NULL ratios on both engines
+    "q43_term_freq_quality" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS token
+        |  FROM documents),
+        |vocab AS (SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY token),
+        |per_doc AS (SELECT doc_id, count(*)::BIGINT AS n_toks,
+        |    sum(cnt)::BIGINT AS sum_freq,
+        |    sum(CASE WHEN cnt < 2 THEN 1 ELSE 0 END)::BIGINT AS n_oov
+        |  FROM toks JOIN vocab USING (token) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(p.n_toks, 0) AS n_toks,
+        |  coalesce(p.sum_freq, 0) AS sum_freq,
+        |  round(p.sum_freq::DOUBLE / p.n_toks, 6) AS avg_freq,
+        |  round(p.n_oov::DOUBLE / p.n_toks, 6) AS oov_frac
+        |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin)
 
   private def q32OracleSql: String = {
     import graft.operators.Multimodal.{defaultBytesPerDoc, headerBytes}

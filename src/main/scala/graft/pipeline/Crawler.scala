@@ -161,100 +161,49 @@ class Crawler(
     // token generalized; north rule): rejected rows stay unvisited in the
     // frontier and are re-offered next round. State is a tiny per-round
     // parquet table — replaying a torn round rereads round r-1's state.
-    // The state WRITE runs on a driver-side thread, overlapped with the
-    // round's main jobs (it was a ~0.5-1 s serial-floor item per round,
-    // VERDICT r2); it is started only after the counts job has
-    // materialized the cache (so it never recomputes the pop in parallel)
-    // and joined before the manifest rename so a torn round still replays
-    // against round r-1's state (a stray round-r state dir is harmless —
-    // the replay overwrites it).
-    var stateWrite: Option[Thread] = None
-    @volatile var stateWriteError: Throwable = null
-    def joinStateWrite(): Unit = {
-      stateWrite.foreach(_.join())
-      if (stateWriteError != null) throw stateWriteError
-    }
     // ONE round-sized cache either way: ungated rounds cache the pop
     // output; gated rounds cache the pop output WITH its admission flag
     // (`Politeness.flagAdmissions` — one pass, no dropped rows) and treat
-    // `popped` as a filter view over that cache. One aggregate job over
-    // the cache then yields the per-bucket lineage counts AND the popped
-    // total AND (gated) the offered total — the round-2 shape paid two
-    // round-sized caches plus a separate offered-count job.
-    val (cached, popped, perBucketCounts, offeredN) =
-      if (cfg.politenessRate > 0) {
-        val prevState = {
-          val p = Paths.get(s"$workDir/politeness/round-${r - 1}")
-          if (Files.exists(p)) spark.read.parquet(p.toString)
-          else graft.streaming.Politeness.emptyState(spark)
-        }
-        val flagged = graft.streaming.Politeness.flagAdmissions(
+    // `popped` as a filter view over that cache.
+    val gated = cfg.politenessRate > 0
+    val prevState =
+      if (!gated) null
+      else {
+        val p = Paths.get(s"$workDir/politeness/round-${r - 1}")
+        if (Files.exists(p)) spark.read.parquet(p.toString)
+        else graft.streaming.Politeness.emptyState(spark)
+      }
+    val cached =
+      if (gated)
+        graft.streaming.Politeness.flagAdmissions(
           popped0, prevState, r.toLong, cfg.politenessRate, cfg.politenessBurst)
           .persist()
-        val stats = timed("pop")(flagged.groupBy("host_bucket")
-          .agg(count(lit(1)).as("offered"), count_if(col("admit")).as("admitted"))
-          .collect()
-          .map(row => (row.getInt(0), row.getLong(1), row.getLong(2)))
-          .sortBy(_._1))
-        // cache is hot — overlap the state write with the fetch. Its
-        // per-host aggregate reads the SAME cached plan (CacheManager
-        // matches the canonicalized plan), never the raw pop.
-        val newState = graft.streaming.Politeness.nextState(
-          flagged, prevState, r.toLong, cfg.politenessRate, cfg.politenessBurst)
-        val t = new Thread(() =>
-          try newState.write.mode(SaveMode.Overwrite)
-            .parquet(s"$workDir/politeness/round-$r")
-          catch { case e: Throwable => stateWriteError = e })
-        t.setName(s"politeness-state-r$r")
-        t.start()
-        stateWrite = Some(t)
-        (flagged, flagged.filter(col("admit")).drop("admit"),
-          stats.collect { case (b, _, adm) if adm > 0 => b -> adm }.toSeq,
-          stats.map(_._2).sum)
-      } else {
-        val p = popped0.persist()
-        val counts = timed("pop")(p.groupBy("host_bucket").count()
-          .collect().map(row => row.getInt(0) -> row.getLong(1)).sortBy(_._1).toSeq)
-        (p, p, counts, counts.map(_._2).sum)
-      }
-    val poppedN = perBucketCounts.map(_._2).sum
-    // offered = pool rows the pop stage produced BEFORE the politeness
-    // throttle — it distinguishes "frontier exhausted" (stop) from
-    // "everything throttled this round" (advance and let tokens refill)
-    if (offeredN == 0) {
-      joinStateWrite()
-      cached.unpersist()
-      return RoundStats(r, 0, 0, 0, 0, math.max(frontierRowsHint, 0L), 0)
-    }
-    if (poppedN == 0) {
-      // throttled to zero: commit an empty delta (every bucket clean) so
-      // the snapshot round advances and per-host tokens accrue
-      joinStateWrite()
-      val empty = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Frontier.schema)
-      val rows = frontierTable.commit(empty, r, Some(Set.empty)) + seenRows
-      writeLineage(r, Seq.empty, 0, 0, 0, 0, rows)
-      cached.unpersist()
-      return RoundStats(r, 0, 0, 0, 0, rows, offeredN)
-    }
+      else popped0.persist()
+    val popped = if (gated) cached.filter(col("admit")).drop("admit") else cached
 
-    // --- seen-archive append: the popped rows leave the pool this round.
-    //     Written straight from the popped CACHE (no shuffle, immutable
-    //     round dir — the docs pattern), on a driver thread overlapped
-    //     with the fetch; joined before the manifest rename so a torn
-    //     round replays it idempotently (the overwrite of round=r).
-    @volatile var seenWriteError: Throwable = null
-    // partitionBy(host_bucket): each archive round is laid out per bucket,
-    // so the SeenIndex (partition-local exact membership — see below) can
-    // read ONLY its own bucket's slice, column-pruned to `url`
-    val seenWrite = new Thread(() =>
-      try popped.withColumn("last_visit", lit(r.toLong))
-        .write.mode(SaveMode.Overwrite).options(writerOptions)
-        .partitionBy("host_bucket")
-        .parquet(s"$seenDir/round=$r")
-      catch { case e: Throwable => seenWriteError = e })
-    seenWrite.setName(s"seen-archive-r$r")
-    seenWrite.start()
+    // --- per-bucket lineage counts RIDE the docs-write job ---
+    // The round-2 shape paid a SEPARATE round-sized aggregation job here
+    // just to collect per-bucket pop counts (and, gated, the offered/
+    // admitted split) before the fetch — a full pop pass per round of
+    // pure fixed cost, exactly the non-scaling term the N→4N metric
+    // punishes. The counts are now an Observation on the cached pop
+    // output inside the SAME job that fetches and writes docs
+    // (`bucket_counts` — a single O(numBuckets) typed aggregate, see
+    // GraftExpressions). The cache materializes during that job; the
+    // overlapped archive/state writes below start AFTER it, so nothing
+    // ever computes the pop twice.
+    graft.functions.GraftExpressions.register(spark)
+    val obsCounts = org.apache.spark.sql.Observation(s"round-$r-counts")
+    val nb = cfg.numBuckets
+    import graft.functions.GraftExpressions.bucket_counts
+    val observedPop =
+      if (gated)
+        cached.observe(obsCounts,
+          bucket_counts(col("host_bucket"), nb).as("offered_pb"),
+          bucket_counts(when(col("admit"), col("host_bucket")), nb).as("admitted_pb"))
+          .filter(col("admit")).drop("admit")
+      else
+        cached.observe(obsCounts, bucket_counts(col("host_bucket"), nb).as("offered_pb"))
 
     // --- fetch stage: per-partition pure fetch, in place by default ---
     // The pop output is ALREADY host-clustered and balanced: bucket files
@@ -271,11 +220,11 @@ class Crawler(
     val storeRoot = if (cfg.storeFiles) s"$workDir/store" else null
     val fetchInput =
       if (cfg.saltFactor > 0)
-        popped
+        observedPop
           .withColumn("salt_key",
             concat(col("host"), lit("#"), pmod(xxhash64(col("url")), lit(cfg.saltFactor))))
           .repartition(spark.sparkContext.defaultParallelism * 2, col("salt_key"))
-      else popped
+      else observedPop
     val out = fetchInput
       .select(col("url"), col("depth"))
       .as[(String, Int)]
@@ -323,7 +272,90 @@ class Crawler(
       Option(obsRow.getOrElse(k, null)).map(_.asInstanceOf[Long]).getOrElse(0L)
     val fetchedOk = obsLong("ok")
     val errs = obsLong("err")
-    val written = spark.read.parquet(s"$docsDir/round=$r")
+
+    // --- counts from the ride-along observation (see above) ---
+    val countsRow = obsCounts.get
+    def pbArr(k: String): IndexedSeq[Long] =
+      countsRow.getOrElse(k, null) match {
+        case null => IndexedSeq.empty
+        case s: scala.collection.Seq[_] => s.map(_.asInstanceOf[Long]).toIndexedSeq
+        case a: Array[Long] => a.toIndexedSeq
+      }
+    val offeredPb = pbArr("offered_pb")
+    val admittedPb = if (gated) pbArr("admitted_pb") else offeredPb
+    val offeredN = offeredPb.sum
+    val perBucketCounts: Seq[(Int, Long)] =
+      admittedPb.zipWithIndex.collect { case (c, b) if c > 0 => (b, c) }
+    val poppedN = perBucketCounts.map(_._2).sum
+
+    // overlapped driver-thread writes (politeness state + seen archive):
+    // started only now, AFTER the docs job materialized the pop cache (so
+    // they never recompute the pop in parallel); joined before the commit's
+    // manifest RENAME so a torn round still replays against round r-1's
+    // state (a stray round-r state/archive dir is harmless — replay
+    // overwrites it; the manifest round gates visibility).
+    var stateWrite: Option[Thread] = None
+    @volatile var stateWriteError: Throwable = null
+    def joinStateWrite(): Unit = {
+      stateWrite.foreach(_.join())
+      if (stateWriteError != null) throw stateWriteError
+    }
+    if (gated && offeredN > 0) {
+      // per-host aggregate reads the SAME cached plan (CacheManager
+      // matches the canonicalized plan), never the raw pop
+      val newState = graft.streaming.Politeness.nextState(
+        cached, prevState, r.toLong, cfg.politenessRate, cfg.politenessBurst)
+      val t = new Thread(() =>
+        try newState.write.mode(SaveMode.Overwrite)
+          .parquet(s"$workDir/politeness/round-$r")
+        catch { case e: Throwable => stateWriteError = e })
+      t.setName(s"politeness-state-r$r")
+      t.start()
+      stateWrite = Some(t)
+    }
+
+    // offered = pool rows the pop stage produced BEFORE the politeness
+    // throttle — it distinguishes "frontier exhausted" (stop) from
+    // "everything throttled this round" (advance and let tokens refill).
+    // The stray docs dir the fold wrote for round r stays invisible: the
+    // manifest round is never bumped on this path (torn-round semantics).
+    if (offeredN == 0) {
+      cached.unpersist()
+      return RoundStats(r, 0, 0, 0, 0, math.max(frontierRowsHint, 0L), 0)
+    }
+    if (poppedN == 0) {
+      // throttled to zero: commit an empty delta (every bucket clean) so
+      // the snapshot round advances and per-host tokens accrue
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Frontier.schema)
+      val rows = frontierTable.commit(empty, r, Some(Set.empty),
+        beforeRename = () => joinStateWrite()) + seenRows
+      writeLineage(r, Seq.empty, 0, 0, 0, 0, rows)
+      cached.unpersist()
+      return RoundStats(r, 0, 0, 0, 0, rows, offeredN)
+    }
+
+    // --- seen-archive append: the popped rows leave the pool this round.
+    //     Written straight from the popped CACHE (no shuffle, immutable
+    //     round dir — the docs pattern), on a driver thread overlapped
+    //     with the expansion + merge + commit-write jobs; joined before
+    //     the manifest rename so a torn round replays it idempotently
+    //     (the overwrite of round=r).
+    @volatile var seenWriteError: Throwable = null
+    // partitionBy(host_bucket): each archive round is laid out per bucket,
+    // so the SeenIndex (partition-local exact membership) can read ONLY
+    // its own bucket's slice, column-pruned to `url`
+    val seenWrite = new Thread(() =>
+      try popped.withColumn("last_visit", lit(r.toLong))
+        .write.mode(SaveMode.Overwrite).options(writerOptions)
+        .partitionBy("host_bucket")
+        .parquet(s"$seenDir/round=$r")
+      catch { case e: Throwable => seenWriteError = e })
+    seenWrite.setName(s"seen-archive-r$r")
+    seenWrite.start()
+
+    val written = spark.read.schema(out.drop("round").schema)
+      .parquet(s"$docsDir/round=$r")
 
     // --- frontier expansion (urlStore.Add of Page.DocumentURLs,
     //     worker.go:1247) + visit marks, one atomic bucket-selective
@@ -414,12 +446,16 @@ class Crawler(
       } else dropArchived(Frontier.mergeRound(frontierDirty, cands, popped, r, cfg.numBuckets))
     val poolNext = merged.filter(col("last_visit") === 0L)
     // the overlapped politeness-state and seen-archive writes must land
-    // BEFORE the atomic manifest rename — torn-round replay consistency
-    joinStateWrite()
-    seenWrite.join()
-    if (seenWriteError != null) throw seenWriteError
+    // BEFORE the atomic manifest rename (torn-round replay consistency) —
+    // the hook joins them as late as possible, after the commit's own
+    // write + footer jobs, maximizing the overlap window
+    val joinOverlapped = () => {
+      joinStateWrite()
+      seenWrite.join()
+      if (seenWriteError != null) throw seenWriteError
+    }
     val poolRows = timed("commit")(frontierTable.commit(poolNext, r, Some(dirty),
-      preClustered = !cfg.useSeenFilter))
+      preClustered = !cfg.useSeenFilter, beforeRename = joinOverlapped))
     seenRows += poppedN
     val frontierRows = poolRows + seenRows
     if (cfg.useSeenFilter)

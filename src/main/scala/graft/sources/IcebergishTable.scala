@@ -100,9 +100,14 @@ class IcebergishTable(val root: String, schema: StructType,
   /** @param preClustered the caller guarantees `df` is already hash-
     *   partitioned by `bucketCol` (e.g. straight out of
     *   [[graft.frontier.Frontier.mergeRound]]) — the commit skips its own
-    *   repartition, so merge + sorted write share ONE exchange. */
+    *   repartition, so merge + sorted write share ONE exchange.
+    * @param beforeRename invoked after the data write + footer stats but
+    *   BEFORE the atomic manifest rename — the caller's barrier for
+    *   overlapped side writes (seen archive, politeness state) that must
+    *   be durable before this snapshot becomes visible. A throw aborts
+    *   the commit with the manifest un-bumped (torn round). */
   def commit(df: DataFrame, round: Int, dirtyBuckets: Option[Set[Int]] = None,
-      preClustered: Boolean = false): Long = {
+      preClustered: Boolean = false, beforeRename: () => Unit = () => ()): Long = {
     Files.createDirectories(Paths.get(root))
     val spark = df.sparkSession
     val nonce = java.util.UUID.randomUUID().toString.take(8)
@@ -166,6 +171,7 @@ class IcebergishTable(val root: String, schema: StructType,
         bucket -> BucketEntry(dataDir, rows)
       }.toMap)
 
+    beforeRename()
     val prev = currentSnapshot()
     val kept: Map[Int, BucketEntry] = (prev, dirtyBuckets) match {
       case (Some(p), Some(dirty)) => p.buckets -- dirty

@@ -83,4 +83,58 @@ class CorpusSpec extends AnyFunSuite {
     // df dim joins via broadcast (vocabulary ≪ corpus)
     assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
+
+  test("packSequences: prefix-sum packing matches the sequential oracle") {
+    // order is by md5('pack:42:'||id) — recompute it here and replay the
+    // concatenate-then-chunk packing sequentially
+    val docs = Seq(
+      1L -> "a b c", 2L -> "d e f g h", 3L -> "", 4L -> "i j",
+      5L -> ("w " * 700).trim).toDF("doc_id", "text")
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val lens = Map(1L -> 3L, 2L -> 5L, 3L -> 0L, 4L -> 2L, 5L -> 700L)
+    val order = lens.keys.toSeq.sortBy(id => (md5hex(s"pack:42:$id"), id))
+    val cap = 512
+    var run = 0L
+    val want = order.map { id =>
+      val len = lens(id)
+      val first = run / cap
+      val last = if (len > 0) (run + len - 1) / cap else first
+      val r = (id, len, first, last, if (len > 0) last - first + 1 else 0L, run % cap)
+      run += len
+      r
+    }.sortBy(_._1)
+    val got = Corpus.packSequences(docs, cap = cap).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want)
+    // doc 5 (700 tokens) must span 2+ sequences somewhere in the layout
+    assert(got.find(_._1 == 5L).get._5 >= 2)
+  }
+
+  test("packSequences output is independent of the partition count") {
+    val docs = (1L to 50L).map(i => i -> ("t " * (i % 7).toInt).trim)
+      .toDF("doc_id", "text")
+    val a = Corpus.packSequences(docs, cap = 10, parts = 1)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = Corpus.packSequences(docs, cap = 10, parts = 7)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("termFreqQuality: integer corpus counts, OOV fraction, empty docs") {
+    val docs = Seq(
+      1L -> "the the cat", // the:3(corpus), cat:1
+      2L -> "the zzqx",    // zzqx is a singleton → OOV at minCount=2
+      3L -> "").toDF("doc_id", "text")
+    val m = Corpus.termFreqQuality(docs, minCount = 2L).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // corpus counts: the=3, cat=1, zzqx=1
+    assert(m(1L).getLong(1) == 3 && m(1L).getLong(2) == 3 + 3 + 1)
+    assert(m(1L).getDouble(3) == math.rint(7.0 / 3 * 1e6) / 1e6)
+    assert(m(1L).getDouble(4) == math.rint(1.0 / 3 * 1e6) / 1e6)
+    assert(m(2L).getLong(2) == 3 + 1 &&
+      m(2L).getDouble(4) == 0.5) // zzqx OOV, the not
+    assert(m(3L).getLong(1) == 0 && m(3L).isNullAt(3) && m(3L).isNullAt(4))
+  }
 }
