@@ -419,6 +419,20 @@ object SparkEntry {
     "q43_term_freq_quality" -> ((s, dir) => {
       Corpus.termFreqQuality(t(s, dir, "documents"), minCount = 2L)
         .orderBy("doc_id")
+    }),
+
+    // DSIR importance resampling: 200 raw-corpus docs drawn toward the
+    // src0 target distribution (hashed unigram+bigram multinomials,
+    // micro-quantized log ratios so every sum is integer-exact, seeded
+    // Gumbel top-k). The oracle rebuilds buckets, both multinomials, the
+    // quantized ratios, and the Gumbel draw from the same md5 stream.
+    "q44_dsir_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.dsirSample(
+        raw = docs.filter(col("source") =!= "src0"),
+        target = docs.filter(col("source") === "src0"),
+        k = 200)
+        .orderBy("doc_id")
     }))
 
   /** q30's oracle: the full IVF pipeline — seeded k-means (4 Lloyd
@@ -1005,7 +1019,43 @@ object SparkEntry {
         |  round(p.sum_freq::DOUBLE / p.n_toks, 6) AS avg_freq,
         |  round(p.n_oov::DOUBLE / p.n_toks, 6) AS oov_frac
         |FROM documents d LEFT JOIN per_doc p USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // DSIR: same featurization (unigrams + bigrams per occurrence), same
+    // add-1-smoothed multinomials, same micro-quantized log ratios (the
+    // only ln calls take identical IEEE-division arguments on both
+    // engines, then quantize — partial-sum order cannot flake an integer
+    // sum), same 52-bit md5 Gumbel draw, same top-200 total order
+    "q44_dsir_sample" ->
+      s"""WITH toks AS (SELECT doc_id, source, $toksSql AS t FROM documents),
+        |grams AS (SELECT doc_id, source = 'src0' AS is_t,
+        |    ('0x' || substr(md5('dsir:' || gram), 1, 15))::BIGINT % 4096 AS bucket
+        |  FROM (SELECT doc_id, source, unnest(list_concat(t,
+        |      CASE WHEN len(t) >= 2
+        |           THEN [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]
+        |           ELSE [] END)) AS gram FROM toks)),
+        |dim AS (SELECT bucket,
+        |    sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS tc,
+        |    sum(CASE WHEN is_t THEN 0 ELSE 1 END)::BIGINT AS rc
+        |  FROM grams GROUP BY bucket),
+        |lr AS (SELECT bucket,
+        |    CAST(round(1e6 * (ln((tc + 1)::DOUBLE / ((SELECT sum(tc) FROM dim) + 4096))
+        |                    - ln((rc + 1)::DOUBLE / ((SELECT sum(rc) FROM dim) + 4096))))
+        |      AS BIGINT) AS lr_micro
+        |  FROM dim),
+        |db AS (SELECT doc_id, bucket, count(*)::BIGINT AS cnt
+        |  FROM grams WHERE NOT is_t GROUP BY doc_id, bucket),
+        |w AS (SELECT doc_id, sum(cnt)::BIGINT AS n_grams,
+        |    sum(cnt * lr_micro)::BIGINT AS w_micro
+        |  FROM db JOIN lr USING (bucket) GROUP BY doc_id),
+        |g AS (SELECT doc_id, n_grams, w_micro,
+        |    CAST(round(-1e6 * ln(-ln(
+        |      (('0x' || substr(md5('gum:42:' || doc_id::VARCHAR), 1, 13))::BIGINT + 0.5)
+        |      / 4503599627370496.0))) AS BIGINT) AS g_micro
+        |  FROM w)
+        |SELECT doc_id, n_grams, w_micro, g_micro,
+        |  w_micro + g_micro AS score_micro
+        |FROM g ORDER BY score_micro DESC, doc_id LIMIT 200""".stripMargin)
 
   private def q32OracleSql: String = {
     import graft.operators.Multimodal.{defaultBytesPerDoc, headerBytes}

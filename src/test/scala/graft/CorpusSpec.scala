@@ -137,4 +137,64 @@ class CorpusSpec extends AnyFunSuite {
       m(2L).getDouble(4) == 0.5) // zzqx OOV, the not
     assert(m(3L).getLong(1) == 0 && m(3L).isNullAt(3) && m(3L).isNullAt(4))
   }
+
+  test("dsirSample: target-like docs outscore off-domain docs; weights are exact") {
+    // target speaks "alpha beta gamma"; raw doc 1 speaks target-ese, raw
+    // docs 2-9 speak a disjoint vocabulary. With k=3 the in-domain doc
+    // must survive the Gumbel draw (its weight dwarfs the noise).
+    val target = (100L until 110L).map(i => (i, "alpha beta gamma alpha beta"))
+      .toDF("doc_id", "text")
+    val raw = ((1L, "alpha beta gamma alpha beta gamma") +:
+      (2L until 10L).map(i => (i, s"rock$i paper$i scissors$i lizard$i")))
+      .toDF("doc_id", "text")
+    val out = Corpus.dsirSample(raw, target, k = 3, buckets = 512, seed = 7L)
+      .collect()
+    assert(out.length == 3)
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId.contains(1L), "the in-domain doc must be sampled")
+    // every selected score must dominate every unselected one under the
+    // same total order (score desc, doc_id asc)
+    val all = Corpus.dsirSample(raw, target, k = 100, buckets = 512, seed = 7L)
+      .collect().map(r => (r.getLong(4), -r.getLong(0))).sorted(
+        Ordering[(Long, Long)].reverse)
+    val kept = out.map(r => (r.getLong(4), -r.getLong(0))).toSet
+    assert(all.take(3).forall(kept), "top-k must equal the global order prefix")
+    // integer weight replay: doc 1's w_micro = sum over its gram buckets
+    // of cnt * round(1e6*(ln((tc+1)/(T+B)) - ln((rc+1)/(R+B))))
+    val B = 512
+    def grams(s: String): Seq[String] = {
+      val t = s.split("\\s+").toSeq
+      t ++ t.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }
+    def bucket(g: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"dsir:$g".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) % B).toInt
+    }
+    val tCnt = (100L until 110L).flatMap(_ => grams("alpha beta gamma alpha beta"))
+      .groupBy(bucket).map { case (b, g) => b -> g.size.toLong }
+    val rawDocs = (1L, "alpha beta gamma alpha beta gamma") +:
+      (2L until 10L).map(i => (i, s"rock$i paper$i scissors$i lizard$i"))
+    val rCnt = rawDocs.flatMap(d => grams(d._2))
+      .groupBy(bucket).map { case (b, g) => b -> g.size.toLong }
+    val tTot = tCnt.values.sum; val rTot = rCnt.values.sum
+    def lrMicro(b: Int): Long =
+      math.rint(1e6 * (math.log((tCnt.getOrElse(b, 0L) + 1).toDouble / (tTot + B)) -
+        math.log((rCnt.getOrElse(b, 0L) + 1).toDouble / (rTot + B)))).toLong
+    val expW = grams("alpha beta gamma alpha beta gamma")
+      .groupBy(bucket).map { case (b, g) => g.size * lrMicro(b) }.sum
+    assert(byId(1L).getLong(2) == expW, "w_micro must replay exactly")
+  }
+
+  test("dsirSample plans a broadcast ratio dim and a TakeOrdered pick") {
+    val docs = (0L until 40L).map(i => (i, s"tok$i common words here"))
+      .toDF("doc_id", "text")
+    val plan = Corpus.dsirSample(docs, docs.limit(5), k = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k must be a distributed TakeOrdered, not a global sort")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the log-ratio dim must broadcast onto the per-doc counts")
+  }
 }
