@@ -433,6 +433,16 @@ object SparkEntry {
         target = docs.filter(col("source") === "src0"),
         k = 200)
         .orderBy("doc_id")
+    }),
+
+    // SemDeDup: k-means the embedding space (the q30 seeded Lloyd), prune
+    // near-dup pairs inside each cluster, keep the member furthest from
+    // its centroid. Removed rows + evidence; the oracle replays k-means
+    // AND the prune rule.
+    "q45_semdedup" -> ((s, dir) => {
+      Similarity.semDeDup(t(s, dir, "embeddings"),
+        cells = 16, iters = 4, threshold = 0.35)
+        .orderBy("vec_id")
     }))
 
   /** q30's oracle: the full IVF pipeline — seeded k-means (4 Lloyd
@@ -445,8 +455,10 @@ object SparkEntry {
     * to 12 decimals on BOTH engines — Spark's avg() partial-sum order is
     * not bit-deterministic, so full-precision ranking could flake
     * (ADVICE r2; mirrors Similarity.nearestCell). */
-  private def q30OracleSql: String = {
-    val iters = 4
+  /** Shared k-means CTE layers (md5-ordered init `c0`, Lloyd iterations
+    * `c1..cN` with float32-truncated means, final `assign`) replayed by
+    * every oracle that rides the seeded k-means (q30, q45). */
+  private def kmeansOracleCtes(iters: Int): String = {
     val init =
       """c0 AS (
         |  SELECT (rk - 1)::INT AS cell_id, embedding AS cell FROM (
@@ -473,7 +485,7 @@ object SparkEntry {
          |  SELECT p.cell_id, coalesce(n.cell, p.cell) AS cell
          |  FROM c${i - 1} p LEFT JOIN n$i n USING (cell_id))""".stripMargin
     }
-    val tail =
+    val assign =
       s"""assign AS (
          |  SELECT vec_id, embedding, cell_id FROM (
          |    SELECT e.vec_id, e.embedding, c.cell_id,
@@ -481,8 +493,14 @@ object SparkEntry {
          |        ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
          |                                              c.cell::DOUBLE[]), 12) DESC,
          |                 c.cell_id) AS rk
-         |    FROM embeddings e, c$iters c) WHERE rk = 1),
-         |probes AS (
+         |    FROM embeddings e, c$iters c) WHERE rk = 1)""".stripMargin
+    (Seq("WITH " + init) ++ iterCtes ++ Seq(assign)).mkString(",\n")
+  }
+
+  private def q30OracleSql: String = {
+    val iters = 4
+    val tail =
+      s"""probes AS (
          |  SELECT q_id, q_emb, cell_id FROM (
          |    SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.cell_id,
          |      row_number() OVER (PARTITION BY e.vec_id
@@ -500,8 +518,32 @@ object SparkEntry {
          |  SELECT q_id, n_id, cos,
          |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
          |  FROM rer) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
-    (Seq("WITH " + init) ++ iterCtes ++ Seq(tail)).mkString(",\n")
+    kmeansOracleCtes(iters) + ",\n" + tail
   }
+
+  /** q45's oracle: the same k-means layers, then SemDeDup's intra-cluster
+    * pairwise prune — centroid-cosine `cc` and pair cosine both rounded to
+    * 6 decimals before ANY comparison, the keep-rule (lower cc wins, ties
+    * to lower id) replayed verbatim. */
+  private def q45OracleSql: String =
+    kmeansOracleCtes(4) + ",\n" +
+      """wc AS (
+        |  SELECT a.cell_id, a.vec_id, a.embedding,
+        |    round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |                                 c.cell::DOUBLE[]), 6) AS cc
+        |  FROM assign a JOIN c4 c USING (cell_id)),
+        |dup AS (
+        |  SELECT x.cell_id, x.vec_id,
+        |    round(list_cosine_similarity(x.embedding::DOUBLE[],
+        |                                 y.embedding::DOUBLE[]), 6) AS cos
+        |  FROM wc x JOIN wc y ON x.cell_id = y.cell_id
+        |                     AND x.vec_id <> y.vec_id
+        |  WHERE round(list_cosine_similarity(x.embedding::DOUBLE[],
+        |                                     y.embedding::DOUBLE[]), 6) >= 0.35
+        |    AND (y.cc < x.cc OR (y.cc = x.cc AND y.vec_id < x.vec_id)))
+        |SELECT vec_id, cell_id, max(cos) AS max_cos,
+        |  count(*)::BIGINT AS n_dups
+        |FROM dup GROUP BY vec_id, cell_id ORDER BY vec_id""".stripMargin
 
   // Shared SQL fragments for the oracle side.
   private val toksSql =
@@ -1055,7 +1097,11 @@ object SparkEntry {
         |  FROM w)
         |SELECT doc_id, n_grams, w_micro, g_micro,
         |  w_micro + g_micro AS score_micro
-        |FROM g ORDER BY score_micro DESC, doc_id LIMIT 200""".stripMargin)
+        |FROM g ORDER BY score_micro DESC, doc_id LIMIT 200""".stripMargin,
+
+    // SemDeDup: full k-means replay (shared CTE layers with q30) + the
+    // intra-cluster prune under the same rounded-cosine discipline
+    "q45_semdedup" -> q45OracleSql)
 
   private def q32OracleSql: String = {
     import graft.operators.Multimodal.{defaultBytesPerDoc, headerBytes}

@@ -282,6 +282,53 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("cell_id"))
   }
 
+  /**
+   * SemDeDup semantic deduplication (Abbas et al. 2023, "SemDeDup: Data-
+   * efficient learning at web-scale through semantic deduplication"):
+   * k-means-cluster the embedding space, then prune near-duplicate pairs
+   * WITHIN each cluster only — the clustering bounds the candidate set so
+   * the quadratic pairwise pass never sees the whole corpus. Within a
+   * duplicate pair the paper keeps the item with the LOWER cosine to its
+   * centroid (keep the outlier, drop the prototypical copy); ties break to
+   * the lower vec_id. Returns the REMOVED rows with evidence
+   * `(vec_id, cell_id, max_cos, n_dups)`.
+   *
+   * Scale shape: reuses [[kmeansCentroids]] (distributed init + broadcast-
+   * assignment Lloyd) and [[ivfAssign]] (map-side-combined packed argmax);
+   * the centroid re-join broadcasts (≤ `cells` rows); the pairwise pass is
+   * a self-equi-join on `cell_id` — one shuffle per side, quadratic only
+   * inside a cell. At 100 TB `cells` grows with the corpus (the paper uses
+   * k ∝ N) so per-cell membership stays bounded; a skewed fat cell is AQE
+   * skew-join territory, and the removal rule is a pure EXISTS — no
+   * sequential greedy pass, every pair decides independently, map-side
+   * combinable. Cosines round to 6 decimals BEFORE any comparison on both
+   * engines (the q30 cross-engine discipline).
+   */
+  def semDeDup(corpus: DataFrame, cells: Int, iters: Int, threshold: Double,
+      seed: Long = 42L): DataFrame = {
+    reg(corpus)
+    val centroids = kmeansCentroids(corpus, cells, iters, seed)
+    val withC = ivfAssign(corpus, centroids)
+      .join(broadcast(centroids), Seq("cell_id"))
+      .withColumn("cc", round(cosine(col("embedding"), col("cell_emb")), 6))
+      .select(col("cell_id"), col("vec_id"), col("embedding"), col("cc"))
+    val lhs = Seq("vec_id", "embedding", "cc")
+      .foldLeft(withC)((d, c) => d.withColumnRenamed(c, s"a_$c"))
+    val rhs = Seq("vec_id", "embedding", "cc")
+      .foldLeft(withC)((d, c) => d.withColumnRenamed(c, s"b_$c"))
+    lhs.join(rhs, Seq("cell_id"))
+      .filter(col("a_vec_id") =!= col("b_vec_id"))
+      .withColumn("cos", round(cosine(col("a_embedding"), col("b_embedding")), 6))
+      .filter(col("cos") >= lit(threshold))
+      // a is removed when b is the preferred keeper: closer-to-the-edge
+      // (lower cc), ties to the lower id
+      .filter(col("b_cc") < col("a_cc") ||
+        (col("b_cc") === col("a_cc") && col("b_vec_id") < col("a_vec_id")))
+      .groupBy(col("cell_id"), col("a_vec_id").as("vec_id"))
+      .agg(max(col("cos")).as("max_cos"), count(lit(1)).as("n_dups"))
+      .select(col("vec_id"), col("cell_id"), col("max_cos"), col("n_dups"))
+  }
+
   def ivfTopK(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
       k: Int, nprobe: Int): DataFrame = {
     reg(queries)

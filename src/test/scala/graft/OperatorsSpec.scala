@@ -181,6 +181,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 9999L)))
   }
 
+  test("semDeDup removes the prototypical copy, keeps the outlier (tie → lower id)") {
+    val emb = embeddings().limit(50)
+    val dup = emb.filter(col("vec_id") === 0)
+      .select(lit(9999L).as("vec_id"), col("embedding"), col("label"))
+    val withDup = emb.unionByName(dup)
+    // τ=0.99: only the planted identical pair clears the bar, so exactly
+    // one row comes back — the tie on centroid-cosine breaks to keep the
+    // lower id, removing 9999
+    val removed = Similarity.semDeDup(withDup, cells = 4, iters = 2,
+      threshold = 0.99).collect()
+    assert(removed.map(_.getLong(0)).toSeq == Seq(9999L))
+    assert(removed.head.getDouble(2) == 1.0 && removed.head.getLong(3) == 1L)
+  }
+
   // ---- text analysis ----
 
   test("langId picks profile languages, 'und' when nothing matches") {
