@@ -443,6 +443,14 @@ object SparkEntry {
       Similarity.semDeDup(t(s, dir, "embeddings"),
         cells = 16, iters = 4, threshold = 0.35)
         .orderBy("vec_id")
+    }),
+
+    // Exact-substring duplication (Lee et al. 2021): 8-token windows
+    // occurring in >= 2 docs; per doc the duplicated-window count, the
+    // union of duplicated token positions, and the merged-span count
+    "q46_substring_dup" -> ((s, dir) => {
+      Dedup.substringDupSpans(t(s, dir, "documents"), w = 8)
+        .orderBy("doc_id")
     }))
 
   /** q30's oracle: the full IVF pipeline — seeded k-means (4 Lloyd
@@ -1101,7 +1109,29 @@ object SparkEntry {
 
     // SemDeDup: full k-means replay (shared CTE layers with q30) + the
     // intra-cluster prune under the same rounded-cosine discipline
-    "q45_semdedup" -> q45OracleSql)
+    "q45_semdedup" -> q45OracleSql,
+
+    // Exact-substring duplication: same 60-bit md5 window hashes, same
+    // >= 2-distinct-docs rule; covered positions via start+offset unnest,
+    // span count = positions whose predecessor is uncovered (left join)
+    "q46_substring_dup" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+        |wins AS (SELECT doc_id, s,
+        |    ('0x' || substr(md5('sub:' || array_to_string(t[s:s+7], ' ')), 1, 15))::BIGINT AS wh
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS s
+        |        FROM toks WHERE len(t) >= 8)),
+        |dup AS (SELECT wh FROM wins GROUP BY wh HAVING count(DISTINCT doc_id) >= 2),
+        |dw AS (SELECT doc_id, s FROM wins JOIN dup USING (wh)),
+        |pos AS (SELECT DISTINCT doc_id, s + i AS p
+        |  FROM (SELECT doc_id, s, unnest(range(0, 8)) AS i FROM dw)),
+        |spans AS (SELECT a.doc_id, count(*) AS dup_tokens,
+        |    count(*) FILTER (WHERE b.p IS NULL) AS n_spans
+        |  FROM pos a LEFT JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p - 1
+        |  GROUP BY a.doc_id),
+        |nw AS (SELECT doc_id, count(DISTINCT s) AS n_dup_wins
+        |  FROM dw GROUP BY doc_id)
+        |SELECT doc_id, n_dup_wins, dup_tokens, n_spans
+        |FROM nw JOIN spans USING (doc_id) ORDER BY doc_id""".stripMargin)
 
   private def q32OracleSql: String = {
     import graft.operators.Multimodal.{defaultBytesPerDoc, headerBytes}

@@ -313,6 +313,63 @@ object Dedup {
     labels
   }
 
+  /**
+   * Exact-substring duplication spans (Lee et al. 2021, "Deduplicating
+   * Training Data Makes Language Models Better"): any `w`-token window
+   * whose text occurs in ≥2 distinct documents is DUPLICATED; per doc we
+   * report the duplicated-window count, the number of distinct duplicated
+   * token positions (the union of the windows — what substring dedup
+   * would cut), and the count of maximal merged spans. Docs shorter than
+   * `w` tokens emit nothing (the paper's ≥w-span rule).
+   *
+   * Window identity is the md5 of the window text (60-bit prefix — the
+   * q28/q31/q44 engine-portable-hash discipline; a 60-bit collision
+   * falsely flagging a window is ~n²/2⁶¹ and the oracle replays the SAME
+   * hash, so the gate is exact either way).
+   *
+   * Scale shape: ONE shuffle on the 60-bit window hash carrying slim
+   * `(wh, doc_id, start)` rows finds cross-doc hashes
+   * (`count(DISTINCT doc_id) ≥ 2` plans as two partial-aggregated
+   * phases); the duplicated-hash dim re-joins the window stream on the
+   * same key (sort-merge, co-partitioned — no second wide pass); the
+   * per-doc span algebra is pure array code over each doc's own bounded
+   * start set — no window functions, nothing global. Boilerplate windows
+   * (the skew hot spot) fan IN to one group each, never out.
+   */
+  def substringDupSpans(docs: DataFrame, w: Int): DataFrame = {
+    val t = TextOps.tokens(col("text"))
+    val wins = docs
+      .select(col("doc_id"), element_at(transform(array(t), tk =>
+        // guard BEFORE sequence(): with stop < start Spark infers a
+        // DESCENDING step, it does not return empty
+        when(size(tk) >= w,
+          transform(sequence(lit(1), size(tk) - (w - 1)), s =>
+            conv(substring(md5(concat(lit("sub:"),
+              concat_ws(" ", slice(tk, s, lit(w))))), 1, 15), 16, 10)
+              .cast("long")))
+          .otherwise(expr("array()").cast("array<long>"))), 1).as("whs"))
+      .filter(size(col("whs")) > 0)
+      .select(col("doc_id"), posexplode(col("whs")).as(Seq("s0", "wh")))
+      .select(col("doc_id"), (col("s0") + 1).as("s"), col("wh"))
+    val dup = wins.groupBy("wh")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("wh")
+    wins.join(dup, Seq("wh"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("s")).as("starts"))
+      // bind the covered-position set ONCE (the shingles lesson), then the
+      // span count is order-free: a position opens a span iff pos-1 is
+      // not covered
+      .withColumn("covered", array_sort(array_distinct(flatten(
+        transform(col("starts"), s => sequence(s, s + (w - 1)))))))
+      .select(col("doc_id"),
+        size(col("starts")).cast("long").as("n_dup_wins"),
+        size(col("covered")).cast("long").as("dup_tokens"),
+        size(filter(col("covered"),
+          p => !array_contains(col("covered"), p - 1))).cast("long").as("n_spans"))
+  }
+
   /** Dedup groups for a corpus: every doc labeled with its near-dup
     * component representative (`group_id` = component min; singletons are
     * their own group) and a deterministic one-per-group `keep` flag — the

@@ -181,6 +181,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 9999L)))
   }
 
+  test("substringDupSpans: shared 8-token run is found, spans merge, short docs silent") {
+    // docs 0/1 share a 10-token run ("one".."ten") embedded in different
+    // contexts → 3 duplicated windows each (starts offset by the prefix),
+    // covering 10 positions in 1 merged span; doc 2 is unrelated; doc 3 is
+    // shorter than w and must emit nothing even if its text repeats.
+    val run = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      0L -> s"intro words here $run trailing tail words x",
+      1L -> s"$run completely different ending tokens a b c d",
+      2L -> "nothing shared with anyone at all in this doc whatsoever truly",
+      3L -> "one two three four five"
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDupSpans(docs, w = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set(0L, 1L))
+    // 10-token run → 3 windows of 8, union = 10 tokens, 1 span, both docs
+    assert(out(0L) == ((3L, 10L, 1L)))
+    assert(out(1L) == ((3L, 10L, 1L)))
+  }
+
+  test("substringDupSpans counts disjoint spans separately") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta"   // 8 tokens
+    val b = "uno dos tres cuatro cinco seis siete ocho"        // 8 tokens
+    val docs = Seq(
+      0L -> s"$a filler1 filler2 filler3 $b",
+      1L -> s"$a unrelated middle tokens go here now ok $b pad"
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDupSpans(docs, w = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // each doc: two exact 8-token windows duplicated, 16 covered, 2 spans
+    assert(out(0L) == ((2L, 16L, 2L)) && out(1L) == ((2L, 16L, 2L)))
+  }
+
   test("semDeDup removes the prototypical copy, keeps the outlier (tie → lower id)") {
     val emb = embeddings().limit(50)
     val dup = emb.filter(col("vec_id") === 0)
