@@ -451,6 +451,15 @@ object SparkEntry {
     "q46_substring_dup" -> ((s, dir) => {
       Dedup.substringDupSpans(t(s, dir, "documents"), w = 8)
         .orderBy("doc_id")
+    }),
+
+    // CCNet-style bigram-LM perplexity (Wenzek et al. 2020): self-trained
+    // add-1-smoothed bigram model, per-distinct-bigram log-probs micro-
+    // quantized at the dim so per-doc log-likelihoods are integer sums
+    // (the q44 discipline); the oracle refits the identical model.
+    "q47_lm_perplexity" -> ((s, dir) => {
+      Corpus.lmPerplexity(t(s, dir, "documents"))
+        .orderBy("doc_id")
     }))
 
   /** q30's oracle: the full IVF pipeline — seeded k-means (4 Lloyd
@@ -1131,7 +1140,38 @@ object SparkEntry {
         |nw AS (SELECT doc_id, count(DISTINCT s) AS n_dup_wins
         |  FROM dw GROUP BY doc_id)
         |SELECT doc_id, n_dup_wins, dup_tokens, n_spans
-        |FROM nw JOIN spans USING (doc_id) ORDER BY doc_id""".stripMargin)
+        |FROM nw JOIN spans USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // bigram-LM perplexity: the oracle refits the identical add-1 bigram
+    // model — same bigram/context/vocab counts, same micro-quantized
+    // dim-level ln (identical IEEE-divided integer arguments on both
+    // engines, then round — partial-sum order cannot flake an integer
+    // sum), one final rounded exp; <2-token docs keep 0/0/NULL
+    "q47_lm_perplexity" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+        |bg AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+        |    THEN [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]
+        |    ELSE [] END) AS bg FROM toks),
+        |bgdim AS (SELECT bg, count(*)::BIGINT AS c FROM bg GROUP BY bg),
+        |ctx AS (SELECT split_part(bg, ' ', 1) AS prev, sum(c)::BIGINT AS ctx
+        |  FROM bgdim GROUP BY prev),
+        |vocab AS (SELECT count(DISTINCT token)::BIGINT AS v
+        |  FROM (SELECT unnest(t) AS token FROM toks)),
+        |lp AS (SELECT bg,
+        |    CAST(round(1e6 * ln((c + 1)::DOUBLE / (ctx + (SELECT v FROM vocab))))
+        |      AS BIGINT) AS lp_micro
+        |  FROM bgdim JOIN ctx ON split_part(bg, ' ', 1) = prev),
+        |db AS (SELECT doc_id, bg, count(*)::BIGINT AS cnt
+        |  FROM bg GROUP BY doc_id, bg),
+        |w AS (SELECT doc_id, sum(cnt)::BIGINT AS n_bigrams,
+        |    sum(cnt * lp_micro)::BIGINT AS ll_micro
+        |  FROM db JOIN lp USING (bg) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(w.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(w.ll_micro, 0) AS ll_micro,
+        |  round(exp(-w.ll_micro::DOUBLE / 1e6 / w.n_bigrams), 6) AS ppl
+        |FROM documents d LEFT JOIN w USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin)
 
   private def q32OracleSql: String = {
     import graft.operators.Multimodal.{defaultBytesPerDoc, headerBytes}

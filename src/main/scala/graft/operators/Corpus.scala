@@ -266,6 +266,78 @@ object Corpus {
         round(col("n_oov").cast("double") / col("n_toks"), 6).as("oov_frac"))
   }
 
+  /**
+   * Bigram-LM perplexity scoring — the actual CCNet-style LM filter whose
+   * integer-exact core [[termFreqQuality]] ships (Wenzek et al. 2020 rank
+   * documents by the perplexity of a KenLM n-gram model; low-ppl text is
+   * fluent prose, high-ppl text is gibberish/boilerplate). The model here
+   * is a self-trained add-1-smoothed bigram LM over the corpus itself:
+   *
+   *   p(cur | prev) = (c(prev,cur) + 1) / (ctx(prev) + V)
+   *
+   * with `c` the corpus bigram count, `ctx(prev) = Σ_cur c(prev,cur)` the
+   * context occurrence count, and `V` the corpus vocabulary size. Each
+   * DISTINCT bigram's log-prob is quantized ONCE at the dim level to
+   * micro units (×10⁶ → long) — per-doc log-likelihoods are then INTEGER
+   * sums `Σ cnt·lp_micro`, immune to partial-sum order across engines and
+   * executors (the [[dsirSample]] technique; a float Σ ln(p) would flake
+   * the oracle hash on reduction order — the reason this operator was
+   * deferred until the micro-quantization discipline existed). The only
+   * floats are the dim-level ln of identical IEEE-divided integers and
+   * one final rounded `exp`.
+   *
+   * Output per document: `n_bigrams`, `ll_micro` (integer log-likelihood,
+   * micro-nats), `ppl = round(exp(−ll_micro / 10⁶ / n_bigrams), 6)`.
+   * Docs with < 2 tokens have no bigrams: n_bigrams 0, null ppl (kept via
+   * left join — the oracle reproduces the same nulls).
+   *
+   * Shape at 100 TB: bigram counts are ONE explode → groupBy(bigram) with
+   * map-side combine → a Zipf-bounded dim (≪ corpus); context counts
+   * re-aggregate THAT dim (dim-sized input, not the corpus); vocabulary
+   * size is a single map-side-combined distinct count that rides the dim
+   * as a broadcast scalar. The scored dim BROADCASTS onto per-(doc,
+   * bigram) counts — themselves map-side combined — and the per-doc sum
+   * lands on the already-clustered doc_id. If the bigram dim outgrows
+   * broadcast, drop the hint and Catalyst plans a shuffled join on the
+   * bigram key; nothing else changes.
+   */
+  def lmPerplexity(docs: DataFrame): DataFrame = {
+    val bg = docs.select(col("doc_id"),
+      explode(bigramsOf(TextOps.tokens(col("text")))).as("bg"))
+    val bgDim = bg.groupBy("bg").agg(count(lit(1)).as("c"))
+      .withColumn("prev", element_at(split(col("bg"), " ", 2), 1))
+    val ctxDim = bgDim.groupBy("prev").agg(sum("c").as("ctx"))
+    val vocab = docs
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .agg(countDistinct(col("token")).as("v"))
+    val lpDim = bgDim.join(ctxDim, Seq("prev")).crossJoin(broadcast(vocab))
+      .select(col("bg"),
+        round(lit(1e6) *
+          log((col("c") + 1).cast("double") / (col("ctx") + col("v"))))
+          .cast("long").as("lp_micro"))
+    val perDoc = bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(lpDim), Seq("bg"))
+      .groupBy("doc_id").agg(
+        sum("cnt").as("n_bigrams"),
+        sum(col("cnt") * col("lp_micro")).as("ll_micro"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("ll_micro"), lit(0L)).as("ll_micro"),
+        round(exp(-col("ll_micro").cast("double") / lit(1e6) /
+          col("n_bigrams")), 6).as("ppl"))
+  }
+
+  /** Adjacent-token bigram strings over a token-array column; docs with
+    * < 2 tokens emit an empty array (never the [[TextOps.shingles]]
+    * whole-doc fallback — a 1-token "bigram" would corrupt the LM). */
+  private def bigramsOf(toks: Column): Column =
+    element_at(transform(array(toks), t =>
+      when(size(t) >= 2,
+        transform(sequence(lit(1), size(t) - 1),
+          i => concat_ws(" ", slice(t, i, lit(2)))))
+        .otherwise(expr("array()").cast("array<string>"))), 1)
+
   /** Hashed n-gram features for [[dsirSample]]: every unigram AND bigram
     * occurrence, md5-bucketed into `buckets` slots. The token array binds
     * once (the [[TextOps.shingles]] lesson); docs with < 2 tokens emit no

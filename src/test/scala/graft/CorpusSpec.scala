@@ -187,6 +187,39 @@ class CorpusSpec extends AnyFunSuite {
     assert(byId(1L).getLong(2) == expW, "w_micro must replay exactly")
   }
 
+  test("lmPerplexity: add-1 bigram model replays exactly; short docs null") {
+    // corpus bigrams: "a b"×3, "b a"×1, "b c"×1 → ctx(a)=3, ctx(b)=2;
+    // vocab {a,b,c,z} → V=4
+    val docs = Seq(
+      1L -> "a b a b", // bigrams: a b, b a, a b
+      2L -> "a b c",   // bigrams: a b, b c
+      3L -> "z").toDF("doc_id", "text")
+    def lp(c: Long, ctx: Long): Long =
+      math.rint(1e6 * math.log((c + 1).toDouble / (ctx + 4))).toLong
+    val lpAB = lp(3, 3); val lpBA = lp(1, 2); val lpBC = lp(1, 2)
+    val m = Corpus.lmPerplexity(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getLong(1) == 3 && m(1L).getLong(2) == 2 * lpAB + lpBA)
+    assert(m(2L).getLong(1) == 2 && m(2L).getLong(2) == lpAB + lpBC)
+    def ppl(ll: Long, n: Long): Double =
+      BigDecimal(math.exp(-ll.toDouble / 1e6 / n))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(m(1L).getDouble(3) == ppl(2 * lpAB + lpBA, 3))
+    assert(m(2L).getDouble(3) == ppl(lpAB + lpBC, 2))
+    // the common-bigram doc is more "fluent" under the corpus LM
+    assert(m(1L).getDouble(3) < m(2L).getDouble(3))
+    assert(m(3L).getLong(1) == 0 && m(3L).getLong(2) == 0 && m(3L).isNullAt(3))
+  }
+
+  test("lmPerplexity broadcasts the scored bigram dim") {
+    val docs = (0L until 30L).map(i => (i, s"the cat $i sat on mat $i"))
+      .toDF("doc_id", "text")
+    val plan = Corpus.lmPerplexity(docs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the lp dim must broadcast onto the per-doc bigram counts")
+  }
+
   test("dsirSample plans a broadcast ratio dim and a TakeOrdered pick") {
     val docs = (0L until 40L).map(i => (i, s"tok$i common words here"))
       .toDF("doc_id", "text")
