@@ -239,35 +239,49 @@ object Similarity {
    * ([[kmeansInit]] — distributed top-k, no global window); each iteration
    * is one broadcast-assignment aggregate ([[nearestCell]]) + one
    * element-wise mean (posexplode → per-(cell, dim) avg → re-assembled
-   * array). No driver-side vectors: centroids live in a k-row DataFrame,
-   * broadcast by Catalyst at the join. Emptied cells keep their previous
-   * centroid. `localCheckpoint` truncates the iteration lineage (standard
-   * iterative-algorithm hygiene at scale).
+   * array). The CORPUS never touches the driver; the k·dim center set
+   * does — the MLlib KMeans shape (see the in-body comment for why that
+   * is strictly better than the k-row-DataFrame + localCheckpoint form
+   * this replaced). Emptied cells keep their previous centroid.
    */
   def kmeansCentroids(corpus: DataFrame, cells: Int, iters: Int = 5,
       seed: Long = 42L): DataFrame = {
     reg(corpus)
     require(cells > 0 && cells < (1 << 21), "cell_id must fit nearestCell's packed argmax")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // The centroid set lives on the DRIVER between iterations — the Spark
+    // MLlib KMeans shape: the corpus stays distributed, the k·dim centers
+    // ride each iteration as a broadcast LocalRelation. This changes
+    // nothing asymptotically (the former DataFrame form's broadcast join
+    // ALREADY funneled every centroid through the driver per iteration)
+    // but drops the per-iteration localCheckpoint jobs, the broadcast
+    // collect job, and the emptied-cell anti-join+union plan: one Lloyd
+    // iteration = ONE distributed action. At 10⁵ cells × 768 dims the
+    // array is ~300 MB — broadcast-sized by construction, same bound the
+    // join form had.
     // init order by md5 (not xxhash64): deterministic either way, but md5
     // is a public cross-engine hash, so the DuckDB oracle replays the SAME
     // init sample and every unrolled Lloyd iteration after it (q30)
-    var centroids = kmeansInit(corpus, cells, seed).localCheckpoint(true)
+    var centers: Map[Int, Seq[Float]] =
+      kmeansInit(corpus, cells, seed)
+        .as[(Int, Seq[Float])].collect().toMap // gate: O(P)=O(cells) centroid rows, never per-doc
     var i = 0
     while (i < iters) {
-      val assigned = nearestCell(corpus, centroids)
-        .select(col("cell_id"), col("embedding"))
-      val updated = assigned
+      val cDf = centers.toSeq.sortBy(_._1).toDF("cell_id", "cell_emb")
+      val updated: Map[Int, Seq[Float]] = nearestCell(corpus, cDf)
         .select(col("cell_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cell_id"), col("pos")).agg(avg(col("v").cast("double")).as("m"))
         .groupBy(col("cell_id"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("sm"))
         .select(col("cell_id"),
           transform(col("sm"), x => x.getField("m").cast("float")).as("cell_emb"))
-      val kept = centroids.join(updated.select("cell_id"), Seq("cell_id"), "left_anti")
-      centroids = updated.unionByName(kept).localCheckpoint(true)
+        .as[(Int, Seq[Float])].collect().toMap // gate: O(P)=O(cells) centroid rows, never per-doc
+      // emptied cells keep their previous centroid
+      centers = centers.map { case (id, e) => id -> updated.getOrElse(id, e) }
       i += 1
     }
-    centroids
+    centers.toSeq.sortBy(_._1).toDF("cell_id", "cell_emb")
   }
 
   /**
