@@ -83,3 +83,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx$driverMem",
   s"-Xms$driverMem",
 ) ++ gcOpts ++ extraJvm
+// Pre-touch the heap at startup for RUN mains (Bench/Verify/probes) —
+// NOT tests (they never march eden far enough to care and would eat the
+// startup cost on every CI run). This guest commits fresh pages through
+// the hypervisor at only ~200 MB/s; without pre-touch that tax lands
+// LAZILY inside the measured work as G1's eden rotates across the 32 GB
+// heap: measured on the q30 k-means loop, per-call wall degraded 0.8 s →
+// 4-6 s exactly when eden first marched past the touched prefix, and it
+// never recovers within a session. Page faults are thread-independent
+// serial cost, so as a FRACTION they depress the faster local[32] leg
+// more — directly taxing the N→4N scaling gate. Pre-touch moves the
+// whole commit to startup (32 g ≈ 2m40s; madvise-THP halves the fault
+// count → ~1m20s) where no measurement sees it. Opt out with
+// GRAFT_GC_OPTS="-XX:-AlwaysPreTouch" (later flag wins).
+run / javaOptions ++= Seq("-XX:+AlwaysPreTouch", "-XX:+UseTransparentHugePages")
