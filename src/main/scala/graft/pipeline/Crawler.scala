@@ -129,6 +129,15 @@ class Crawler(
   }
 
   private val timing = sys.env.contains("GRAFT_ROUND_TIMING")
+  /** Recursive delete of an uncommitted round artifact (no-op if absent). */
+  private def deleteDir(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val it = Files.list(p).iterator()
+      while (it.hasNext) deleteDir(it.next())
+    }
+    Files.deleteIfExists(p): Unit
+  }
+
   private def timed[T](label: String)(f: => T): T = {
     if (!timing) f
     else {
@@ -317,10 +326,16 @@ class Crawler(
     // offered = pool rows the pop stage produced BEFORE the politeness
     // throttle — it distinguishes "frontier exhausted" (stop) from
     // "everything throttled this round" (advance and let tokens refill).
-    // The stray docs dir the fold wrote for round r stays invisible: the
-    // manifest round is never bumped on this path (torn-round semantics).
+    // The docs job necessarily ran before `offered` was known (the counts
+    // ride it), so an exhausted-pool round has left an EMPTY, uncommitted
+    // docs/round=r dir. Delete it rather than leave it "invisible": how
+    // many post-exhaustion rounds fire depends on the caller's tick
+    // schedule (StreamingCrawler's processAllAvailable), and the
+    // torn-round byte-identity invariant compares on-disk trees — a
+    // schedule-dependent stray would flake it (StreamingSpec caught this).
     if (offeredN == 0) {
       cached.unpersist()
+      deleteDir(Paths.get(s"$docsDir/round=$r"))
       return RoundStats(r, 0, 0, 0, 0, math.max(frontierRowsHint, 0L), 0)
     }
     if (poppedN == 0) {

@@ -185,6 +185,15 @@ class StreamingSpec extends AnyFunSuite {
       }
       out.sorted.toSeq
     }
+    if (treeHashes(torn, "docs") != treeHashes(dir, "docs")) {
+      def dump(root: String): Unit =
+        Files.walk(Paths.get(root, "docs")).forEach { p =>
+          if (p.getFileName.toString.endsWith(".parquet"))
+            println(s"[torn-debug] $p bytes=${Files.size(p)} sha=${sha(p).take(12)}")
+        }
+      println(s"[torn-debug] TORN tree:"); dump(torn)
+      println(s"[torn-debug] REF tree:"); dump(dir)
+    }
     assert(treeHashes(torn, "docs") == treeHashes(dir, "docs"))
     // the append-only seen archive must replay byte-identically too
     assert(treeHashes(torn, "seen") == treeHashes(dir, "seen"))
