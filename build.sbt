@@ -95,5 +95,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // more — directly taxing the N→4N scaling gate. Pre-touch moves the
 // whole commit to startup (32 g ≈ 2m40s; madvise-THP halves the fault
 // count → ~1m20s) where no measurement sees it. Opt out with
-// GRAFT_GC_OPTS="-XX:-AlwaysPreTouch" (later flag wins).
-run / javaOptions ++= Seq("-XX:+AlwaysPreTouch", "-XX:+UseTransparentHugePages")
+// GRAFT_GC_OPTS="-XX:-AlwaysPreTouch" — the user flags are re-appended
+// AFTER the pre-touch defaults here (later JVM flag wins), so the
+// opt-out actually takes effect in run scope.
+run / javaOptions ++=
+  Seq("-XX:+AlwaysPreTouch", "-XX:+UseTransparentHugePages") ++ extraJvm

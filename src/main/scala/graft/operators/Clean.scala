@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
  * (codegen'd, no shuffle — they ride the scan stage at 100 TB). Sentence
  * dedup shuffles (hash, packed-first-occurrence) pairs once on the
  * sentence hash with map-side partial min — O(total sentences), the same
- * exact-groupBy shape as [[Dedup.exactDups]], never all-pairs.
+ * exact-groupBy shape as [[Dedup.exactDedup]], never all-pairs.
  */
 object Clean {
 
@@ -146,17 +146,23 @@ object Clean {
    *
    * `docKey` maps doc_id into a dense long (identity for the synthetic
    * corpus). 2^43 doc keys × 2^20 positions fit a long; the pos bound is
-   * enforced with a runtime assert inside the expression (null on
-   * overflow would silently corrupt the min).
+   * enforced with a `raise_error`-backed runtime guard below — a silent
+   * pass-through on overflow would corrupt the packed min and
+   * mis-attribute duplicates (a ≥2^20-sentence doc is ~10M tokens at
+   * chunk=10: rare, but the failure must be loud, not wrong).
    */
   def sentenceDedup(docs: DataFrame, chunk: Int = 10): DataFrame = {
+    val posChecked = when(col("pos") < lit(1 << 20), col("pos"))
+      .otherwise(raise_error(concat(
+        lit("sentenceDedup: sentence position overflows the 2^20 pack bound: "),
+        col("pos").cast("string"))))
     val sents = docs
       .select(col("doc_id").cast("long").as("doc_id"),
         posexplode(sentenceChunks(TextOps.tokens(col("text")), chunk))
           .as(Seq("pos", "sent_toks")))
       .select(col("doc_id"), col("pos"),
         md5(concat_ws(" ", col("sent_toks"))).as("h"),
-        (col("doc_id") * lit(1L << 20) + col("pos")).as("packed"))
+        (col("doc_id") * lit(1L << 20) + posChecked).as("packed"))
     val first = sents.groupBy("h").agg(min("packed").as("first_packed"))
     sents.join(first, Seq("h"))
       .groupBy("doc_id").agg(

@@ -24,6 +24,20 @@ import org.apache.spark.sql.functions._
  */
 object Corpus {
 
+  /** Size-gate for dimension-table broadcast hints. The vocabulary /
+    * bigram dims below are Zipf-bounded but NOT constant-bounded: on a
+    * web-scale corpus they grow to tens of GB — an unconditional
+    * `broadcast()` hint there OOMs the driver instead of letting
+    * Catalyst/AQE plan a shuffled join. Callers that know their dim is
+    * small (test/bench scale, curated vocab) keep the default `true`;
+    * at corpus scale pass `false` and the join keys on the dim column
+    * through a normal exchange (AQE still converts it back to broadcast
+    * at runtime if the dim turns out tiny). The genuinely bounded dims
+    * (decontaminate's eval grams, DSIR's ≤4096 buckets) stay
+    * unconditionally hinted — they cannot outgrow broadcast. */
+  private def maybeBroadcast(dim: DataFrame, hint: Boolean): DataFrame =
+    if (hint) broadcast(dim) else dim
+
   /**
    * Per-document n-gram repetition statistics (Gopher repetition rules):
    *
@@ -132,12 +146,13 @@ object Corpus {
    * produced — no extra exchange). `nDocs` arrives as a parameter so
    * callers reuse a known cardinality instead of paying a count scan.
    */
-  def tfidfTopK(docs: DataFrame, k: Int, nDocs: Long): DataFrame = {
+  def tfidfTopK(docs: DataFrame, k: Int, nDocs: Long,
+                broadcastDims: Boolean = true): DataFrame = {
     val tf = docs
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val dfDim = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(dfDim), Seq("token"))
+    val scored = tf.join(maybeBroadcast(dfDim, broadcastDims), Seq("token"))
       .withColumn("score",
         round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
       .filter(col("score") > 0)
@@ -244,14 +259,16 @@ object Corpus {
    * Shape at 100 TB: one explode → groupBy(token) with map-side combine
    * builds the vocabulary dim (Zipf-bounded, ≪ corpus); it BROADCASTS
    * back onto a second token stream that re-aggregates per doc on the
-   * already-clustered doc_id. If the vocabulary outgrows broadcast, drop
-   * the hint and Catalyst plans a shuffled join keyed on token.
+   * already-clustered doc_id. If the vocabulary outgrows broadcast, pass
+   * `broadcastDims = false` and Catalyst plans a shuffled join keyed on
+   * token (PlanSpec gates the BroadcastExchange-free plan).
    */
-  def termFreqQuality(docs: DataFrame, minCount: Long = 2L): DataFrame = {
+  def termFreqQuality(docs: DataFrame, minCount: Long = 2L,
+                      broadcastDims: Boolean = true): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(TextOps.tokens(col("text"))).as("token"))
     val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
-    val perDoc = toks.join(broadcast(vocab), Seq("token"))
+    val perDoc = toks.join(maybeBroadcast(vocab, broadcastDims), Seq("token"))
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_toks"),
         sum("cnt").as("sum_freq"),
@@ -298,10 +315,11 @@ object Corpus {
    * as a broadcast scalar. The scored dim BROADCASTS onto per-(doc,
    * bigram) counts — themselves map-side combined — and the per-doc sum
    * lands on the already-clustered doc_id. If the bigram dim outgrows
-   * broadcast, drop the hint and Catalyst plans a shuffled join on the
-   * bigram key; nothing else changes.
+   * broadcast, pass `broadcastDims = false` and Catalyst plans a shuffled
+   * join on the bigram key; nothing else changes (PlanSpec gates the
+   * BroadcastExchange-free plan).
    */
-  def lmPerplexity(docs: DataFrame): DataFrame = {
+  def lmPerplexity(docs: DataFrame, broadcastDims: Boolean = true): DataFrame = {
     val bg = docs.select(col("doc_id"),
       explode(bigramsOf(TextOps.tokens(col("text")))).as("bg"))
     val bgDim = bg.groupBy("bg").agg(count(lit(1)).as("c"))
@@ -316,7 +334,7 @@ object Corpus {
           log((col("c") + 1).cast("double") / (col("ctx") + col("v"))))
           .cast("long").as("lp_micro"))
     val perDoc = bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
-      .join(broadcast(lpDim), Seq("bg"))
+      .join(maybeBroadcast(lpDim, broadcastDims), Seq("bg"))
       .groupBy("doc_id").agg(
         sum("cnt").as("n_bigrams"),
         sum(col("cnt") * col("lp_micro")).as("ll_micro"))

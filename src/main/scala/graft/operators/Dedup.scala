@@ -358,16 +358,25 @@ object Dedup {
     wins.join(dup, Seq("wh"))
       .groupBy("doc_id")
       .agg(collect_set(col("s")).as("starts"))
-      // bind the covered-position set ONCE (the shingles lesson), then the
-      // span count is order-free: a position opens a span iff pos-1 is
-      // not covered
-      .withColumn("covered", array_sort(array_distinct(flatten(
-        transform(col("starts"), s => sequence(s, s + (w - 1)))))))
+      // interval arithmetic over the SORTED starts — never materialize the
+      // covered-position set (that form was O(dup_tokens²) per row via the
+      // per-element array_contains: ~10⁸ ops for one heavily-duplicated
+      // 10k-token doc). Each start covers [s, s+w-1]; for consecutive
+      // sorted starts with gap g = sᵢ − sᵢ₋₁: coverage stays contiguous
+      // iff g ≤ w (new span iff g > w), and sᵢ adds min(g, w) fresh
+      // covered tokens. So one sort + one zip_with, O(L log L) per row.
+      .withColumn("ss", array_sort(col("starts")))
+      .withColumn("gaps", zip_with(
+        slice(col("ss"), lit(2), size(col("ss")) - 1),
+        slice(col("ss"), lit(1), size(col("ss")) - 1),
+        (a, b) => a - b))
       .select(col("doc_id"),
         size(col("starts")).cast("long").as("n_dup_wins"),
-        size(col("covered")).cast("long").as("dup_tokens"),
-        size(filter(col("covered"),
-          p => !array_contains(col("covered"), p - 1))).cast("long").as("n_spans"))
+        (lit(w) + aggregate(col("gaps"), lit(0L),
+          (acc, g) => acc + least(g, lit(w)).cast("long")))
+          .cast("long").as("dup_tokens"),
+        (lit(1) + size(filter(col("gaps"), g => g > w)))
+          .cast("long").as("n_spans"))
   }
 
   /** Dedup groups for a corpus: every doc labeled with its near-dup

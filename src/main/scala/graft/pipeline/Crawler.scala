@@ -132,8 +132,14 @@ class Crawler(
   /** Recursive delete of an uncommitted round artifact (no-op if absent). */
   private def deleteDir(p: java.nio.file.Path): Unit = {
     if (Files.isDirectory(p)) {
-      val it = Files.list(p).iterator()
-      while (it.hasNext) deleteDir(it.next())
+      // close the listing stream eagerly — each Files.list holds an open
+      // directory fd until closed (GC-reliant release leaks fds across a
+      // deep recursive delete)
+      val s = Files.list(p)
+      try {
+        val it = s.iterator()
+        while (it.hasNext) deleteDir(it.next())
+      } finally s.close()
     }
     Files.deleteIfExists(p): Unit
   }

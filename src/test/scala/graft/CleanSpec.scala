@@ -75,7 +75,9 @@ class CleanSpec extends AnyFunSuite {
     val m = Clean.sentenceDedup(docs, chunk = 2).collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
       .toMap
-    assert(m(1L) == ((3L, 1L, math.rint(1.0 / 3 * 1e6) / 1e6)))
+    // HALF_UP, matching Spark's round() (not math.rint's half-even)
+    assert(m(1L) == ((3L, 1L, BigDecimal(1.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
     assert(m(2L) == ((2L, 1L, 0.5)))
   }
 
@@ -84,5 +86,22 @@ class CleanSpec extends AnyFunSuite {
     val plan = Clean.sentenceDedup(docs, chunk = 2)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window") && !plan.contains("Cartesian"))
+  }
+
+  test("sentenceDedup raises loudly when pos overflows the 2^20 pack bound") {
+    // chunk=1 over 2^20+1 tokens drives the max sentence position to
+    // 2^20 — past the pack bound. A silent pass-through would corrupt
+    // the packed first-occurrence min; the guard must throw instead.
+    val docs = Seq(1L -> Seq.fill((1 << 20) + 1)("a").mkString(" "))
+      .toDF("doc_id", "text")
+    // NOT .count(): column pruning would strip the packed column (and
+    // the guard with it) from a row-count-only plan — evaluate a column
+    // that genuinely depends on the pack
+    val e = intercept[Exception] {
+      Clean.sentenceDedup(docs, chunk = 1).select("n_dup").collect()
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => String.valueOf(t.getMessage)).mkString("|")
+    assert(msgs.contains("overflows the 2^20 pack bound"), msgs.take(2000))
   }
 }

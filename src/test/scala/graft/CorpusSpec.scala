@@ -10,6 +10,15 @@ class CorpusSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  // Expected-value rounding MUST mirror Spark's round() (HALF_UP over the
+  // decimal string form), not math.rint (half-even) — the operators and
+  // the DuckDB oracles both use HALF_UP, and a helper encoding a
+  // different rule only passes while the constants dodge exact .5 ties.
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def microHU(x: Double): Long =
+    BigDecimal(1e6 * x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
   test("repetitionStats: looping phrase and copy-paste spans are flagged") {
     // A: "x y" loops — top 2-gram 'x y' fills 4/7 slots; every 5-gram
     // occurs twice → dup5_frac 1.0. B: all tokens distinct → nothing dup.
@@ -19,8 +28,8 @@ class CorpusSpec extends AnyFunSuite {
     val m = Corpus.repetitionStats(docs, maxFrac = 0.2)
       .collect().map(r => r.getLong(0) ->
         ((r.getDouble(1), r.getDouble(2), r.getBoolean(3)))).toMap
-    assert(m(10L) == ((math.rint(4.0 / 7 * 1e6) / 1e6, 1.0, true)))
-    assert(m(11L) == ((math.rint(1.0 / 9 * 1e6) / 1e6, 0.0, false)))
+    assert(m(10L) == ((r6(4.0 / 7), 1.0, true)))
+    assert(m(11L) == ((r6(1.0 / 9), 0.0, false)))
   }
 
   test("repetitionStats: short docs fall back to the whole-doc gram") {
@@ -131,8 +140,8 @@ class CorpusSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r).toMap
     // corpus counts: the=3, cat=1, zzqx=1
     assert(m(1L).getLong(1) == 3 && m(1L).getLong(2) == 3 + 3 + 1)
-    assert(m(1L).getDouble(3) == math.rint(7.0 / 3 * 1e6) / 1e6)
-    assert(m(1L).getDouble(4) == math.rint(1.0 / 3 * 1e6) / 1e6)
+    assert(m(1L).getDouble(3) == r6(7.0 / 3))
+    assert(m(1L).getDouble(4) == r6(1.0 / 3))
     assert(m(2L).getLong(2) == 3 + 1 &&
       m(2L).getDouble(4) == 0.5) // zzqx OOV, the not
     assert(m(3L).getLong(1) == 0 && m(3L).isNullAt(3) && m(3L).isNullAt(4))
@@ -180,8 +189,8 @@ class CorpusSpec extends AnyFunSuite {
       .groupBy(bucket).map { case (b, g) => b -> g.size.toLong }
     val tTot = tCnt.values.sum; val rTot = rCnt.values.sum
     def lrMicro(b: Int): Long =
-      math.rint(1e6 * (math.log((tCnt.getOrElse(b, 0L) + 1).toDouble / (tTot + B)) -
-        math.log((rCnt.getOrElse(b, 0L) + 1).toDouble / (rTot + B)))).toLong
+      microHU(math.log((tCnt.getOrElse(b, 0L) + 1).toDouble / (tTot + B)) -
+        math.log((rCnt.getOrElse(b, 0L) + 1).toDouble / (rTot + B)))
     val expW = grams("alpha beta gamma alpha beta gamma")
       .groupBy(bucket).map { case (b, g) => g.size * lrMicro(b) }.sum
     assert(byId(1L).getLong(2) == expW, "w_micro must replay exactly")
@@ -195,7 +204,7 @@ class CorpusSpec extends AnyFunSuite {
       2L -> "a b c",   // bigrams: a b, b c
       3L -> "z").toDF("doc_id", "text")
     def lp(c: Long, ctx: Long): Long =
-      math.rint(1e6 * math.log((c + 1).toDouble / (ctx + 4))).toLong
+      microHU(math.log((c + 1).toDouble / (ctx + 4)))
     val lpAB = lp(3, 3); val lpBA = lp(1, 2); val lpBC = lp(1, 2)
     val m = Corpus.lmPerplexity(docs).collect()
       .map(r => r.getLong(0) -> r).toMap
@@ -218,6 +227,36 @@ class CorpusSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       "the lp dim must broadcast onto the per-doc bigram counts")
+  }
+
+  test("broadcastDims=false: shuffled dim joins return identical results") {
+    // the 100 TB escape hatch for the unbounded vocab/bigram dims: with
+    // the hint off (and auto-broadcast disabled so the fallback REALLY
+    // runs as a shuffled join), every operator must return byte-identical
+    // rows to the broadcast default
+    val docs = Seq(
+      1L -> "the the cat sat on the mat",
+      2L -> "the zzqx cat",
+      3L -> "").toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val hinted = Seq(
+      rows(Corpus.tfidfTopK(docs, 3, 3L)),
+      rows(Corpus.termFreqQuality(docs)),
+      rows(Corpus.lmPerplexity(docs)))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val shuffled = Seq(
+        rows(Corpus.tfidfTopK(docs, 3, 3L, broadcastDims = false)),
+        rows(Corpus.termFreqQuality(docs, broadcastDims = false)),
+        rows(Corpus.lmPerplexity(docs, broadcastDims = false)))
+      assert(shuffled == hinted)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
   }
 
   test("dsirSample plans a broadcast ratio dim and a TakeOrdered pick") {

@@ -214,6 +214,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(0L) == ((2L, 16L, 2L)) && out(1L) == ((2L, 16L, 2L)))
   }
 
+  test("substringDupSpans: gap == w merges (adjacent coverage), gap == w+1 splits") {
+    // pins the interval-arithmetic boundary: consecutive starts at gap w
+    // produce ADJACENT coverage (one merged span), gap w+1 leaves a
+    // one-token hole (two spans); covered tokens are 16 either way
+    val r1 = "a1 a2 a3 a4 a5 a6 a7 a8"
+    val r2 = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val docs = Seq(
+      0L -> s"$r1 $r2",       // starts 1, 9  → gap 8 = w
+      1L -> s"$r1 pad $r2"    // starts 1, 10 → gap 9 = w+1
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDupSpans(docs, w = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(0L) == ((2L, 16L, 1L)))
+    assert(out(1L) == ((2L, 16L, 2L)))
+  }
+
+  test("substringDupSpans: 10k-token fully-duplicated doc stays linear and exact") {
+    // the old covered-set algebra was O(dup_tokens²) per row — ~10⁸ ops
+    // for exactly this shape; the interval form must handle it instantly.
+    // All tokens distinct → every one of the 9993 windows is duplicated
+    // across the pair, covering all 10000 positions in one merged span.
+    val text = (1 to 10000).map(i => s"w$i").mkString(" ")
+    val docs = Seq(0L -> text, 1L -> text).toDF("doc_id", "text")
+    val out = Dedup.substringDupSpans(docs, w = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(0L) == ((9993L, 10000L, 1L)))
+    assert(out(1L) == ((9993L, 10000L, 1L)))
+  }
+
   test("semDeDup removes the prototypical copy, keeps the outlier (tie → lower id)") {
     val emb = embeddings().limit(50)
     val dup = emb.filter(col("vec_id") === 0)

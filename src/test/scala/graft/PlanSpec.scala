@@ -208,6 +208,38 @@ class PlanSpec extends AnyFunSuite {
       (50 until 90).map(i => s"http://h$i.test/").toSet)
   }
 
+  test("corpus dim joins plan WITHOUT broadcast when the size-gate is off") {
+    // guards the unbounded-dim escape hatch: with broadcastDims=false and
+    // auto-broadcast disabled, the vocab/bigram dim joins must plan as
+    // shuffled joins — no BroadcastExchange OOM path anywhere (the one
+    // exception is lmPerplexity's single-row vocabulary scalar, which is
+    // genuinely bounded and keeps its broadcast crossJoin)
+    import spark.implicits._
+    val docs = Seq(1L -> "a b a b c", 2L -> "a b x").toDF("doc_id", "text")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val tfidf = planOf(graft.operators.Corpus.tfidfTopK(docs, 3, 2L,
+        broadcastDims = false))
+      assert(!tfidf.contains("BroadcastExchange"),
+        s"tfidf df-dim still broadcasts:\n$tfidf")
+      val tfq = planOf(graft.operators.Corpus.termFreqQuality(docs,
+        broadcastDims = false))
+      assert(!tfq.contains("BroadcastExchange"),
+        s"termFreq vocab dim still broadcasts:\n$tfq")
+      val ppl = planOf(graft.operators.Corpus.lmPerplexity(docs,
+        broadcastDims = false))
+      assert(!ppl.contains("BroadcastHashJoin"),
+        s"lmPerplexity bigram dim still hash-broadcasts:\n$ppl")
+      assert("BroadcastExchange".r.findAllIn(ppl).length <= 1,
+        s"more than the bounded scalar broadcast survives:\n$ppl")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("docs() reads only requested columns (wide-file column pruning)") {
     // build a tiny crawl, then check the session projection prunes spans
     val dir = java.nio.file.Files.createTempDirectory("graft-plan").toString
