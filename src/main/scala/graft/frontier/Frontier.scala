@@ -266,22 +266,60 @@ object Frontier {
    * mis-pops.
    */
   def popSortedFifo(frontier: DataFrame, perHostBudget: Int,
-      perBucketBudget: Int): DataFrame = {
+      perBucketBudget: Int): DataFrame =
+    popSortedFifoImpl(frontier, perHostBudget, perBucketBudget, None, 0L, 0.0, 0.0)
+      .select("url", "host", "host_bucket", "depth", "discovered_at")
+
+  /**
+   * The sorted fifo pop WITH the per-host politeness token-bucket verdict
+   * fused into its streaming pass — one column (`admit`) on top of
+   * [[popSortedFifo]]'s output, at zero extra passes. The gated crawler
+   * round used to run a SEPARATE partition-local flagging pass over the
+   * pop output ([[graft.streaming.Politeness.flagAdmissions]] — a
+   * hashmap regroup + per-host sort of every offered row); but the pop
+   * already walks each host's rows contiguously IN priority order, so the
+   * token check is one comparison against a per-host counter the pass
+   * maintains anyway.
+   *
+   * Verdicts are IDENTICAL to pop → flagAdmissions: a host's bucket-heap
+   * survivors are always a PREFIX of its priority-ordered offer (any
+   * top-K set under a total order is downward closed within one host's
+   * chain), so flagging the first `admitLimit` offered rows before heap
+   * truncation equals flagging the first `admitLimit` survivors after it
+   * (equivalence-tested in StreamingSpec, heap eviction included).
+   */
+  def popSortedFifoFlagged(frontier: DataFrame, perHostBudget: Int,
+      perBucketBudget: Int,
+      state: org.apache.spark.broadcast.Broadcast[java.util.HashMap[String, (Double, Long)]],
+      roundId: Long, ratePerRound: Double, burst: Double): DataFrame =
+    popSortedFifoImpl(frontier, perHostBudget, perBucketBudget, Some(state),
+      roundId, ratePerRound, burst)
+
+  private def popSortedFifoImpl(frontier: DataFrame, perHostBudget: Int,
+      perBucketBudget: Int,
+      state: Option[org.apache.spark.broadcast.Broadcast[java.util.HashMap[String, (Double, Long)]]],
+      roundId: Long, ratePerRound: Double, burst: Double): DataFrame = {
     import graft.model.Model.FrontierEntry
-    implicit val enc = org.apache.spark.sql.Encoders.product[FrontierEntry]
+    import graft.streaming.Politeness
+    import graft.streaming.Politeness.FlaggedEntry
+    implicit val inEnc = org.apache.spark.sql.Encoders.product[FrontierEntry]
+    implicit val outEnc = org.apache.spark.sql.Encoders.product[FlaggedEntry]
     // worst-first ordering so the heap root is the eviction candidate
     val worstFirst: Ordering[FrontierEntry] =
       Ordering.by((e: FrontierEntry) => (e.depth, e.discovered_at, e.url))
+    val worstFirstF: Ordering[FlaggedEntry] =
+      Ordering.by((e: FlaggedEntry) => (e.depth, e.discovered_at, e.url))
     frontier
       .select("url", "host", "host_bucket", "depth", "discovered_at", "last_visit")
       .filter(col("last_visit") === 0L)
       .as[FrontierEntry]
       .mapPartitions { it =>
         val heaps = scala.collection.mutable.Map
-          .empty[Int, scala.collection.mutable.PriorityQueue[FrontierEntry]]
+          .empty[Int, scala.collection.mutable.PriorityQueue[FlaggedEntry]]
         var curBucket = Int.MinValue
         var curHost: String = null
         var curCount = 0
+        var curAdmit = Int.MaxValue
         var prev: FrontierEntry = null
         it.foreach { e =>
           if (e.host_bucket != curBucket || e.host != curHost) {
@@ -290,23 +328,30 @@ object Frontier {
                 s"frontier bucket ${e.host_bucket} not host-sorted: ${e.host} after $curHost " +
                   "(bucket file split or unsorted commit — see IcebergishTable sortCols)")
             curBucket = e.host_bucket; curHost = e.host; curCount = 0
+            curAdmit = state match {
+              case Some(bc) =>
+                Politeness.admitLimit(bc.value.get(e.host), roundId, ratePerRound, burst)
+              case None => Int.MaxValue
+            }
           } else if (prev != null && worstFirst.lt(e, prev)) {
             throw new IllegalStateException(
               s"frontier host ${e.host} not priority-sorted (unsorted commit?)")
           }
           if (curCount < perHostBudget) {
+            val fe = FlaggedEntry(e.url, e.host, e.host_bucket, e.depth,
+              e.discovered_at, curCount < curAdmit)
             curCount += 1
             val h = heaps.getOrElseUpdate(e.host_bucket,
-              scala.collection.mutable.PriorityQueue.empty[FrontierEntry](worstFirst))
-            if (h.size < perBucketBudget) h.enqueue(e)
-            else if (worstFirst.lt(e, h.head)) { h.dequeue(); h.enqueue(e) }
+              scala.collection.mutable.PriorityQueue.empty[FlaggedEntry](worstFirstF))
+            if (h.size < perBucketBudget) h.enqueue(fe)
+            else if (worstFirstF.lt(fe, h.head)) { h.dequeue(); h.enqueue(fe) }
           }
           prev = e
         }
         heaps.valuesIterator.flatMap(_.iterator)
       }
       .toDF()
-      .select("url", "host", "host_bucket", "depth", "discovered_at")
+      .select("url", "host", "host_bucket", "depth", "discovered_at", "admit")
   }
 
   /**

@@ -167,19 +167,13 @@ class Crawler(
     val popSource =
       if (cfg.unique && cfg.sampler != "pair") pool
       else pool.unionByName(seen())
-    // sorted=true: the committed bucket files are (host, prio)-sorted, so
-    // the fifo pop is a streaming take — no Sort node, no exchange
-    val popped0 = Frontier.pop(popSource, cfg.sampler, cfg.seed,
-      cfg.perHostBudget, cfg.perBucketBudget, cfg.unique, cfg.boost,
-      sorted = true)
     // optional per-host token-bucket throttle (worker.go:1238-1253 ready
     // token generalized; north rule): rejected rows stay unvisited in the
     // frontier and are re-offered next round. State is a tiny per-round
     // parquet table — replaying a torn round rereads round r-1's state.
     // ONE round-sized cache either way: ungated rounds cache the pop
     // output; gated rounds cache the pop output WITH its admission flag
-    // (`Politeness.flagAdmissions` — one pass, no dropped rows) and treat
-    // `popped` as a filter view over that cache.
+    // and treat `popped` as a filter view over that cache.
     val gated = cfg.politenessRate > 0
     val prevState =
       if (!gated) null
@@ -188,12 +182,31 @@ class Crawler(
         if (Files.exists(p)) spark.read.parquet(p.toString)
         else graft.streaming.Politeness.emptyState(spark)
       }
-    val cached =
-      if (gated)
-        graft.streaming.Politeness.flagAdmissions(
-          popped0, prevState, r.toLong, cfg.politenessRate, cfg.politenessBurst)
-          .persist()
-      else popped0.persist()
+    // sorted=true: the committed bucket files are (host, prio)-sorted, so
+    // the fifo pop is a streaming take — no Sort node, no exchange. The
+    // GATED fifo round fuses the token-bucket verdict INTO that same
+    // streaming pass (popSortedFifoFlagged): zero extra passes over the
+    // offer, identical verdicts (see its scaladoc). Non-fifo samplers
+    // flag in a separate partition-local pass; past `broadcastStateMax`
+    // hosts both fall back to the window form.
+    val sortedFifo = cfg.unique && cfg.sampler == "fifo"
+    def popPlain() = Frontier.pop(popSource, cfg.sampler, cfg.seed,
+      cfg.perHostBudget, cfg.perBucketBudget, cfg.unique, cfg.boost,
+      sorted = true)
+    val cached = (
+      if (!gated) popPlain()
+      else graft.streaming.Politeness.stateMapOf(prevState, 20000000) match {
+        case Some(m) if sortedFifo =>
+          Frontier.popSortedFifoFlagged(popSource, cfg.perHostBudget,
+            cfg.perBucketBudget, spark.sparkContext.broadcast(m), r.toLong,
+            cfg.politenessRate, cfg.politenessBurst)
+        case Some(m) =>
+          graft.streaming.Politeness.flagAdmissionsWithMap(
+            popPlain(), m, r.toLong, cfg.politenessRate, cfg.politenessBurst)
+        case None =>
+          graft.streaming.Politeness.flagAdmissionsWindow(
+            popPlain(), prevState, r.toLong, cfg.politenessRate, cfg.politenessBurst)
+      }).persist()
     val popped = if (gated) cached.filter(col("admit")).drop("admit") else cached
 
     // --- per-bucket lineage counts RIDE the docs-write job ---

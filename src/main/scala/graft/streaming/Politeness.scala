@@ -114,17 +114,49 @@ object Politeness {
    * [[flagAdmissionsWindow]] — at that scale the popped set is enormous
    * too and the relative window cost shrinks.
    */
+  /** Collect the per-host state table into a driver map, or None past
+    * `max` hosts (callers fall back to [[flagAdmissionsWindow]] — at that
+    * scale the popped set is enormous too and the window's relative cost
+    * shrinks). Shared by [[flagAdmissions]] and the fused sorted-pop path
+    * ([[graft.frontier.Frontier.popSortedFifoFlagged]]) so the state
+    * parquet is read and collected exactly once per round. */
+  def stateMapOf(state: org.apache.spark.sql.DataFrame,
+      max: Int): Option[java.util.HashMap[String, (Double, Long)]] = {
+    val stateRows = state.select("host", "tokens", "last_round")
+      .limit(max + 1).collect()
+    if (stateRows.length > max) None
+    else {
+      val m = new java.util.HashMap[String, (Double, Long)](stateRows.length * 2)
+      stateRows.foreach(r => m.put(r.getString(0), (r.getDouble(1), r.getLong(2))))
+      Some(m)
+    }
+  }
+
+  /** The floor(tokens) admission limit for one host this round — the ONE
+    * refill formula every politeness form shares. */
+  def admitLimit(st: (Double, Long), roundId: Long,
+      ratePerRound: Double, burst: Double): Int = {
+    val (tok, last) = if (st == null) (burst, roundId - 1) else st
+    math.floor(math.min(burst,
+      tok + math.max(0L, roundId - last) * ratePerRound)).toInt
+  }
+
   def flagAdmissions(popped: org.apache.spark.sql.DataFrame,
       state: org.apache.spark.sql.DataFrame, roundId: Long,
       ratePerRound: Double, burst: Double,
       broadcastStateMax: Int = 20000000): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions._
-    val stateRows = state.select("host", "tokens", "last_round")
-      .limit(broadcastStateMax + 1).collect()
-    if (stateRows.length > broadcastStateMax)
-      return flagAdmissionsWindow(popped, state, roundId, ratePerRound, burst)
-    val m = new java.util.HashMap[String, (Double, Long)](stateRows.length * 2)
-    stateRows.foreach(r => m.put(r.getString(0), (r.getDouble(1), r.getLong(2))))
+    val m = stateMapOf(state, broadcastStateMax).getOrElse(
+      return flagAdmissionsWindow(popped, state, roundId, ratePerRound, burst))
+    flagAdmissionsWithMap(popped, m, roundId, ratePerRound, burst)
+  }
+
+  /** [[flagAdmissions]] over an ALREADY-collected state map (the crawler
+    * collects once per round and feeds either this or the fused sorted
+    * pop). */
+  def flagAdmissionsWithMap(popped: org.apache.spark.sql.DataFrame,
+      m: java.util.HashMap[String, (Double, Long)], roundId: Long,
+      ratePerRound: Double, burst: Double): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
     val bc = popped.sparkSession.sparkContext.broadcast(m)
     implicit val enc = Encoders.product[FlaggedEntry]
     implicit val inEnc = Encoders.product[PopEntry]
@@ -143,11 +175,7 @@ object Politeness {
         }
         import scala.jdk.CollectionConverters._
         byHost.entrySet().iterator().asScala.flatMap { en =>
-          val st = bc.value.get(en.getKey)
-          val (tok, last) = if (st == null) (burst, roundId - 1) else st
-          val refilled = math.min(burst,
-            tok + math.max(0L, roundId - last) * ratePerRound)
-          val admit = math.floor(refilled).toInt
+          val admit = admitLimit(bc.value.get(en.getKey), roundId, ratePerRound, burst)
           val buf = en.getValue
           val flags: Iterator[(PopEntry, Boolean)] =
             if (admit >= buf.length) buf.iterator.map(_ -> true)

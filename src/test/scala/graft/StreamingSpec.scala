@@ -85,6 +85,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(st("c.test") == ((0.6, 7L)))
   }
 
+  test("fused sorted-pop admission ≡ pop → window flagging (heap eviction included)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.frontier.Frontier
+    // commit a frontier through the real table so the fused pass sees the
+    // sorted bucket files it requires; perBucketBudget=3 forces the
+    // per-bucket heap to EVICT (7 hosts × budget 2 >> 3 per bucket) — the
+    // regime where flag-before-truncate vs truncate-before-flag could
+    // diverge if the prefix property did not hold
+    val dir = java.nio.file.Files.createTempDirectory("graft-fused-pop").toString
+    val table = new graft.sources.IcebergishTable(dir, Frontier.schema,
+      sortCols = Seq("host", "depth", "discovered_at", "url"))
+    val f = Frontier.normalizeCandidates(
+      (0 until 200).map(i => (s"http://h${i % 7}.test/p/$i", i % 3, i.toLong))
+        .toDF("url", "depth", "discovered_at"), 4)
+    table.commit(f, 0)
+    val state = Seq(("h0.test", 1.2, 6L), ("h3.test", 0.1, 6L))
+      .toDF("host", "tokens", "last_round")
+    val (roundId, rate, burst) = (7L, 0.5, 2.0)
+    val m = Politeness.stateMapOf(state, 1000000).get
+    val fused = Frontier.popSortedFifoFlagged(table.read(spark), 2, 3,
+      spark.sparkContext.broadcast(m), roundId, rate, burst)
+    val reference = Politeness.flagAdmissionsWindow(
+      Frontier.pop(table.read(spark), "fifo", 42L, 2, 3, sorted = true),
+      state, roundId, rate, burst)
+    def verdicts(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getBoolean(5))).toSet
+    assert(verdicts(fused) == verdicts(reference))
+    // heap eviction really happened: 7 hosts × budget 2 = 14 offered, and
+    // pigeonhole puts ≥2 hosts (≥4 offers > cap 3) in some bucket
+    assert(fused.count() < 14)
+    // and the next-state tables agree too
+    def stRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(stRows(Politeness.nextState(fused, state, roundId, rate, burst)) ==
+      stRows(Politeness.nextState(reference, state, roundId, rate, burst)))
+  }
+
   test("robots rules are deterministic; filter drops disallowed paths") {
     val host = "h1.test"
     val dis = UrlFns.robotsDisallow(host)
