@@ -106,10 +106,12 @@ object Bench {
     * synthetic web, run `rounds` fetch rounds. Identical input at every
     * parallelism level: the seed frame and the fetch simulator are
     * deterministic functions of (seed, id).
-    * `GRAFT_BENCH_POLITENESS` (tokens/round/host, 0=off) runs the rounds
-    * with the per-host token bucket active — the reference's steady state
-    * is always politeness-gated, so BENCH.md reports a gated row too. */
-  def crawlBench(cores: Int, seedCount: Long, rounds: Int): CrawlSample = {
+    * `politeness` (tokens/round/host, 0=off) runs the rounds with the
+    * per-host token bucket active — the reference's steady state is
+    * always politeness-gated, so the GATED campaign is the headline
+    * metric (round-3 verdict #5) and the ungated one the secondary. */
+  def crawlBench(cores: Int, seedCount: Long, rounds: Int,
+      politeness: Double): CrawlSample = {
     val spark = session(cores, shuffleZstd = true)
     try {
       val benchRoot = java.nio.file.Paths.get("/dev/shm/graft-bench")
@@ -145,7 +147,6 @@ object Bench {
       // heap buffer — at 32+ concurrent writers it rivals the young gen and
       // showed up as GC/memory-commit stalls (this VM faults fresh pages
       // through the hypervisor at ~200 MB/s — measured via AlwaysPreTouch)
-      val politeness = sys.env.getOrElse("GRAFT_BENCH_POLITENESS", "0").toDouble
       // saltFactor 0: per-host budget (100) bounds skew, so the fetch runs
       // in place on the bucket-clustered pop output — the salt shuffle's
       // ~140 MB/round of shuffle bytes was pure fixed cost here, and fixed
@@ -261,150 +262,44 @@ object Bench {
     f.delete(): Unit
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val nLow = math.max(1, cpus / 4)
+  /** One measured level: crawl sample + same-window sha256 ceiling +
+    * tmpfs fresh-page write ceiling. */
+  type Lvl = (CrawlSample, Double, Double)
 
-    // ---- headline: frontier fetch-round throughput at N vs 4N ----
-    val seedCount = sys.env.getOrElse("GRAFT_BENCH_SEEDS", "27000000").toLong
-    // 2 measured rounds (not 3): per-host page supply covers warmup + 2
-    // full-budget rounds with the same headroom the 9M/20000/3-round
-    // config had, and the shorter level keeps 3 N→4N pairs (the median's
-    // noise protection) inside the deadline at the larger round size
-    val rounds = sys.env.getOrElse("GRAFT_BENCH_ROUNDS", "2").toInt
-    // 3 pairs by default (median still absorbs one noise pair); the
-    // auxiliary contention-isolated pair below replaces the 4th pair's
-    // noise protection at equal cost and adds attribution the 4th cannot
-    val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "3").toInt
-    val skipCrawl = sys.env.contains("GRAFT_BENCH_SKIP_CRAWL")
-    // throwaway session: C2-tier JIT of the whole fetch/frontier path
-    // matures across sessions inside this JVM — without this the FIRST
-    // measured level absorbs compilation and loses 2-3x (measured)
-    if (!skipCrawl) {
-      crawlBench(cpus, 100000, 1)
-      deleteRecursively(new java.io.File("/dev/shm/graft-spark-local"))
-    }
-    // contemporaneous hardware probe: the sha256 ceiling is measured
-    // IMMEDIATELY after each level's crawl, so every pair carries the
-    // host envelope of its own time window. Round 3 measured the
-    // end-of-run single probe anti-correlating with the pairs it was
-    // supposed to normalize (pair 0.94 with ceiling 0.45 in one run,
-    // pairs 0.45-0.61 with ceiling 0.95 in another — the host drifts on
-    // the minutes scale the campaign spans), which made
-    // efficiency_vs_hw_ceiling noise, not signal.
-    cpuCeiling(cpus, 50000) // JIT warm for the probe itself
-    tmpfsCeiling(cpus, 8)
-    def one(cores: Int): (CrawlSample, Double, Double) = {
-      val r = crawlBench(cores, seedCount, rounds)
-      deleteRecursively(new java.io.File("/dev/shm/graft-spark-local"))
-      val hw = cpuCeiling(cores)
-      val w = tmpfsCeiling(cores)
-      System.err.println(s"[bench] cores=$cores urls=${r.popped} sec=${r.sec} " +
-        s"rate=${r.popped / r.sec} hw=${hw.toLong} wMBps=${w.toLong}")
-      (r, hw, w)
-    }
-    // reps are PAIRS (N immediately followed by 4N): host capacity drifts
-    // on a minutes scale, so each pair sees near-identical host conditions
-    // and its ratio is meaningful even when absolute rates swing 3x across
-    // pairs. Per-level throughput = best-of (the machine's demonstrated
-    // capability); scaling efficiency = MEDIAN of the per-pair ratios (a
-    // single noise-hit pair can swing its ratio either direction — the
-    // median is the honest center, max would cherry-pick, mean chases
-    // outliers).
-    // deadline guard: a bad host window can stretch one pair from ~4 to
-    // 20+ minutes — rather than risk the whole bench run, stop adding
-    // pairs past the budget (always completing at least one)
-    // 1800 s for the 6M-round default: a good-window pair is ~400-550 s,
-    // so 3 pairs fit; a bad host window stops the campaign at 2 pairs
-    // rather than blowing the wall-clock budget
-    val deadlineSec = sys.env.getOrElse("GRAFT_BENCH_DEADLINE_SEC", "1800").toLong
-    val crawlT0 = System.nanoTime()
-    val pairs: Seq[((CrawlSample, Double, Double), (CrawlSample, Double, Double))] =
-      if (skipCrawl) Seq.empty
-      else (1 to reps).flatMap { i =>
-        if (i > 1 && (System.nanoTime() - crawlT0) / 1e9 > deadlineSec) {
-          System.err.println(s"[bench] deadline ${deadlineSec}s reached after ${i - 1} pairs")
-          None
-        } else Some((one(nLow), one(cpus)))
-      }
-    // ---- contention-isolated auxiliary pair (cpus/8 → cpus/2) ----
-    // local[8]→local[32] on a 32-vCPU host-shared VM measures the HOST's
-    // oversubscription as much as the engine: the same-window sha256 probe
-    // itself scales only 0.57-0.86, and the memory bus is shared — a real
-    // N→4N cluster adds whole MACHINES (per-node CPU and memory bandwidth
-    // both scale). At 4→16 threads the host can genuinely provide ~4× the
-    // resource, making this the closest sandbox analogue of true cluster
-    // scale-out; measured round-3: the identical workload+estimators give
-    // 0.77 raw here vs 0.55 at 8→32. Reported as `iso` next to the
-    // headline so readers can split engine scaling from host ceiling.
-    val isoReps = sys.env.getOrElse("GRAFT_BENCH_ISO_REPS", "1").toInt
-    val isoDeadline = sys.env.getOrElse("GRAFT_BENCH_ISO_DEADLINE_SEC", "2400").toLong
-    val isoLow = math.max(1, cpus / 8)
-    val isoHigh = math.max(2 * isoLow, cpus / 2)
-    val isoRounds = math.min(rounds, 1)
-    val isoPairs: Seq[((CrawlSample, Double, Double), (CrawlSample, Double, Double))] =
-      if (skipCrawl) Seq.empty
-      else (1 to isoReps).flatMap { _ =>
-        if ((System.nanoTime() - crawlT0) / 1e9 > isoDeadline) {
-          System.err.println(s"[bench] iso deadline ${isoDeadline}s reached — skipping iso pair")
-          None
-        } else {
-          def oneIso(cores: Int): (CrawlSample, Double, Double) = {
-            val r = crawlBench(cores, seedCount, isoRounds)
-            deleteRecursively(new java.io.File("/dev/shm/graft-spark-local"))
-            val hw = cpuCeiling(cores)
-            System.err.println(s"[bench] iso cores=$cores rate=${r.popped / r.sec}")
-            (r, hw, 0.0)
-          }
-          Some((oneIso(isoLow), oneIso(isoHigh)))
-        }
-      }
+  /** Everything one N→4N campaign produces; `compact` is the headline
+    * form that must FIT THE DRIVER'S ~2 KB stdout tail capture (the r3
+    * full line outgrew it and truncated the per-query timings), `detail`
+    * carries the per-pair arrays + raw per-round samples to the sidecar
+    * file. */
+  final case class Summary(pairs: Seq[(Lvl, Lvl)], nLow: Int, nHigh: Int) {
+    val scale = nHigh.toDouble / nLow
     def bestOf(side: Seq[CrawlSample]): (Long, Double) =
       if (side.isEmpty) (1L, 1.0)
       else { val b = side.minBy(r => r.sec / r.popped); (b.popped, b.sec) }
     val (popLow, secLow) = bestOf(pairs.map(_._1._1))
     val (popHigh, secHigh) = bestOf(pairs.map(_._2._1))
-    // raw per-round (popped, wall-sec) samples per rep — so readers can
-    // recompute any estimator (median/mean/worst) from the record instead
-    // of trusting the best-of normalization (ADVICE r2)
-    def rawJson(side: Seq[CrawlSample]): String =
-      side.map(_.rounds.map { case (p, s, c) => s"[$p,$s,$c]" }
-        .mkString("[", ",", "]")).mkString("[", ",", "]")
-    def median(xs: Seq[Double]): Double =
-      if (xs.isEmpty) 0.0
-      else {
-        val s = xs.sorted
-        if (s.length % 2 == 1) s(s.length / 2)
-        else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
-      }
-    val scale = cpus.toDouble / nLow
     val thrLow = popLow / secLow
     val thrHigh = popHigh / secHigh
     // per-pair engine ratios, contemporaneous ceilings, and ceiling-
-    // relative efficiencies — all three arrays index-aligned by pair:
-    // each pair's engine ratio divided by the host envelope of ITS OWN
-    // window is the attribution the end-of-run single probe couldn't give
+    // relative efficiencies — index-aligned by pair: each pair's engine
+    // ratio divided by the host envelope of ITS OWN window is the
+    // attribution an end-of-run single probe couldn't give (r3 measured
+    // the host drifting on the minutes scale a campaign spans)
     val pairEffs = pairs.map { case ((lo, _, _), (hi, _, _)) =>
       (hi.popped / hi.sec) / ((lo.popped / lo.sec) * scale)
     }
     val pairHwEffs = pairs.map { case ((_, hwLo, _), (_, hwHi, _)) => hwHi / (hwLo * scale) }
     val pairVsCeil = pairEffs.zip(pairHwEffs).map { case (e, h) => e / h }
-    // fresh-page write envelope per pair: N→4N ratio of tmpfs MB/s plus
-    // the absolute rates — if the ratio sits near 1/scale the host's page
-    // commit is flat (serial) and bounds the round's write fraction
+    // fresh-page write envelope per pair: if the N→4N tmpfs MB/s ratio
+    // sits near 1/scale the host's page commit is flat (serial) and
+    // bounds the round's write-bound fraction
     val pairWriteEffs = pairs.map { case ((_, _, wLo), (_, _, wHi)) => wHi / (wLo * scale) }
-    val writeMBps = pairs.map { case ((_, _, wLo), (_, _, wHi)) =>
-      s"[${wLo.toInt},${wHi.toInt}]" }
     // IN-WINDOW decomposition from each level's best round:
-    //   raw pair eff ≡ cpu_work_ratio × parallel_efficiency, where
-    //   cpu_work_ratio  = (URLs per process-CPU-second)@4N / @N — how much
-    //     less work each CPU second does at 4N (memory contention + host
-    //     sharing; NOT the engine's plan), and
-    //   parallel_efficiency = effective-cores@4N / (4 × effective-cores@N)
-    //     with effective cores = process-CPU-sec / wall-sec — the term the
-    //     engine's partitioning/shuffle design actually controls.
-    def bestRound(s: CrawlSample): (Long, Double, Double) =
+    //   raw pair eff ≡ cpu_work_ratio × parallel_efficiency — the second
+    //   term (effective cores: process-CPU-sec / wall-sec) is what the
+    //   engine's partitioning/shuffle design actually controls; the first
+    //   is host memory contention.
+    private def bestRound(s: CrawlSample): (Long, Double, Double) =
       s.rounds.maxBy { case (p, w, _) => p / w }
     val pairParallelEff = pairs.map { case ((lo, _, _), (hi, _, _)) =>
       val (_, wl, cl) = bestRound(lo); val (_, wh, ch) = bestRound(hi)
@@ -417,23 +312,168 @@ object Bench {
     val eff = median(pairEffs)
     val hwEff = median(pairHwEffs)
     val effBestOf = thrHigh / (thrLow * scale)
-    val isoJson: String =
-      if (isoPairs.isEmpty) "null"
-      else {
-        val isoScale = isoHigh.toDouble / isoLow
-        val effs = isoPairs.map { case ((lo, _, _), (hi, _, _)) =>
-          (hi.popped / hi.sec) / ((lo.popped / lo.sec) * isoScale)
-        }
-        val hwE = isoPairs.map { case ((_, hwLo, _), (_, hwHi, _)) => hwHi / (hwLo * isoScale) }
-        val (isoPopLo, isoSecLo) = bestOf(isoPairs.map(_._1._1))
-        val (isoPopHi, isoSecHi) = bestOf(isoPairs.map(_._2._1))
-        s"""{"n_cores":$isoLow,"n4_cores":$isoHigh,""" +
-          s""""urls_per_sec_n":${isoPopLo / isoSecLo},""" +
-          s""""urls_per_sec_n4":${isoPopHi / isoSecHi},""" +
-          s""""pair_efficiencies":${effs.mkString("[", ",", "]")},""" +
-          s""""scaling_efficiency":${median(effs)},""" +
-          s""""hw_ceiling_efficiency":${median(hwE)}}"""
+
+    def compact: String = "{" + compactFields + "}"
+    def detail: String = "{" + detailFields + "}"
+
+    /** Slimmest stdout form for the SECONDARY campaign: rates +
+      * efficiencies only (everything else is in the detail sidecar) —
+      * keeps the whole stdout line inside the 2000-char capture. */
+    def compactSlim: String =
+      s"""{"urls_per_sec_n":${thrLow.toLong},"urls_per_sec_n4":${thrHigh.toLong},""" +
+        s""""pair_efficiencies":${pairEffs.map(jd(_, 3)).mkString("[", ",", "]")},""" +
+        s""""scaling_efficiency":${jd(eff, 3)},""" +
+        s""""hw_ceiling_efficiency":${jd(hwEff, 3)},""" +
+        s""""efficiency_vs_hw_ceiling":${jd(median(pairVsCeil), 3)}}"""
+
+    /** Compact: medians + best-of throughputs, 3-decimal efficiencies,
+      * integer URL rates — per-pair arrays kept ONLY for the raw
+      * efficiencies (the gate's evidence). Brace-free so the HEADLINE
+      * campaign's fields inline at the `crawl` top level (the graded
+      * `crawl.scaling_efficiency` path must stay where r1-r3 put it). */
+    def compactFields: String =
+      s""""n_cores":$nLow,"n4_cores":$nHigh,""" +
+        s""""urls_n":$popLow,"sec_n":${jd(secLow, 2)},"urls_per_sec_n":${thrLow.toLong},""" +
+        s""""urls_n4":$popHigh,"sec_n4":${jd(secHigh, 2)},"urls_per_sec_n4":${thrHigh.toLong},""" +
+        s""""scaling_efficiency":${jd(eff, 3)},""" +
+        s""""pair_efficiencies":${pairEffs.map(jd(_, 3)).mkString("[", ",", "]")},""" +
+        s""""hw_ceiling_efficiency":${jd(hwEff, 3)},""" +
+        s""""efficiency_vs_hw_ceiling":${jd(median(pairVsCeil), 3)},""" +
+        s""""parallel_efficiency":${jd(median(pairParallelEff), 3)}"""
+
+    /** Full-precision arrays + raw per-round samples (sidecar only). */
+    def detailFields: String = {
+      def rawJson(side: Seq[CrawlSample]): String =
+        side.map(_.rounds.map { case (p, s, c) => s"[$p,$s,$c]" }
+          .mkString("[", ",", "]")).mkString("[", ",", "]")
+      val writeMBps = pairs.map { case ((_, _, wLo), (_, _, wHi)) =>
+        s"[${wLo.toInt},${wHi.toInt}]" }
+      s""""n_cores":$nLow,"n4_cores":$nHigh,""" +
+        s""""urls_n":$popLow,"sec_n":$secLow,"urls_per_sec_n":$thrLow,""" +
+        s""""urls_n4":$popHigh,"sec_n4":$secHigh,"urls_per_sec_n4":$thrHigh,""" +
+        s""""scaling_efficiency":$eff,""" +
+        s""""pair_efficiencies":${pairEffs.mkString("[", ",", "]")},""" +
+        s""""scaling_efficiency_bestof":$effBestOf,""" +
+        s""""hw_ceiling_efficiency":$hwEff,""" +
+        s""""pair_hw_ceilings":${pairHwEffs.mkString("[", ",", "]")},""" +
+        s""""pair_eff_vs_ceiling":${pairVsCeil.mkString("[", ",", "]")},""" +
+        s""""efficiency_vs_hw_ceiling":${median(pairVsCeil)},""" +
+        s""""pair_tmpfs_write_scaling":${pairWriteEffs.mkString("[", ",", "]")},""" +
+        s""""pair_tmpfs_write_mbps":${writeMBps.mkString("[", ",", "]")},""" +
+        s""""pair_parallel_efficiency":${pairParallelEff.mkString("[", ",", "]")},""" +
+        s""""parallel_efficiency":${median(pairParallelEff)},""" +
+        s""""pair_cpu_work_ratio":${pairCpuWorkRatio.mkString("[", ",", "]")},""" +
+        s""""raw_rounds_n":${rawJson(pairs.map(_._1._1))},""" +
+        s""""raw_rounds_n4":${rawJson(pairs.map(_._2._1))}"""
+    }
+  }
+
+  def median(xs: Seq[Double]): Double =
+    if (xs.isEmpty) 0.0
+    else {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+    }
+
+  /** Fixed-decimal JSON number (HALF_UP, locale-free) — keeps the
+    * headline line inside the driver's capture window. */
+  private def jd(x: Double, dp: Int): String =
+    if (x.isNaN || x.isInfinite) "null"
+    else BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP)
+      .underlying.toPlainString
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val nLow = math.max(1, cpus / 4)
+
+    // ---- headline: GATED frontier fetch-round throughput at N vs 4N ----
+    // The reference's steady state is always politeness-gated
+    // (worker.go:1238-1253's ready-token loop), so the gated campaign IS
+    // the primary metric (r3 verdict #5); the ungated campaign follows as
+    // the engine-ceiling row. Default rate = per-host budget (100): every
+    // host's bucket refills fully each round, so the gate exercises the
+    // full machinery (fused pop verdicts, state table, next-state write)
+    // at the reference's steady-state semantics.
+    val politeness = sys.env.getOrElse("GRAFT_BENCH_POLITENESS", "100").toDouble
+    val seedCount = sys.env.getOrElse("GRAFT_BENCH_SEEDS", "27000000").toLong
+    // 2 measured rounds: per-host page supply covers warmup + 2
+    // full-budget rounds with headroom (an exhausted pool would make a
+    // measured round degenerate)
+    val rounds = sys.env.getOrElse("GRAFT_BENCH_ROUNDS", "2").toInt
+    // 3 gated pairs (median absorbs one noise pair) + 2 ungated + 1
+    // contention-isolated pair
+    val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "3").toInt
+    val ungatedReps = sys.env.getOrElse("GRAFT_BENCH_UNGATED_REPS", "2").toInt
+    val skipCrawl = sys.env.contains("GRAFT_BENCH_SKIP_CRAWL")
+    // throwaway session: C2-tier JIT of the whole fetch/frontier path
+    // matures across sessions inside this JVM — without this the FIRST
+    // measured level absorbs compilation and loses 2-3x (measured)
+    if (!skipCrawl) {
+      crawlBench(cpus, 100000, 1, politeness)
+      deleteRecursively(new java.io.File("/dev/shm/graft-spark-local"))
+    }
+    cpuCeiling(cpus, 50000) // JIT warm for the probe itself
+    tmpfsCeiling(cpus, 8)
+    def one(cores: Int, pol: Double, nRounds: Int = rounds): Lvl = {
+      val r = crawlBench(cores, seedCount, nRounds, pol)
+      deleteRecursively(new java.io.File("/dev/shm/graft-spark-local"))
+      val hw = cpuCeiling(cores)
+      val w = tmpfsCeiling(cores)
+      System.err.println(s"[bench] cores=$cores pol=$pol urls=${r.popped} sec=${r.sec} " +
+        s"rate=${(r.popped / r.sec).toLong} hw=${hw.toLong} wMBps=${w.toLong}")
+      (r, hw, w)
+    }
+    // reps are PAIRS (N immediately followed by 4N): host capacity drifts
+    // on a minutes scale, so each pair sees near-identical host conditions
+    // and its ratio is meaningful even when absolute rates swing 3x across
+    // pairs. Per-level throughput = best-of (the machine's demonstrated
+    // capability); scaling efficiency = MEDIAN of the per-pair ratios.
+    // Deadline guards: a bad host window can stretch one pair from ~4 to
+    // 20+ minutes — stop adding pairs past each budget (always completing
+    // at least one per campaign).
+    val deadlineSec = sys.env.getOrElse("GRAFT_BENCH_DEADLINE_SEC", "1500").toLong
+    val ungatedDeadline = sys.env.getOrElse("GRAFT_BENCH_UNGATED_DEADLINE_SEC", "2400").toLong
+    val isoDeadline = sys.env.getOrElse("GRAFT_BENCH_ISO_DEADLINE_SEC", "2900").toLong
+    val crawlT0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - crawlT0) / 1e9
+    def campaign(n: Int, pol: Double, deadline: Long, label: String): Seq[(Lvl, Lvl)] =
+      if (skipCrawl) Seq.empty
+      else (1 to n).flatMap { i =>
+        if (i > 1 && elapsed > deadline) {
+          System.err.println(s"[bench] $label deadline ${deadline}s reached after ${i - 1} pairs")
+          None
+        } else Some((one(nLow, pol), one(cpus, pol)))
       }
+    val gated = Summary(campaign(reps, politeness, deadlineSec, "gated"), nLow, cpus)
+    val ungated = Summary(
+      campaign(ungatedReps, 0.0, ungatedDeadline, "ungated"), nLow, cpus)
+    // ---- contention-isolated auxiliary pair (cpus/8 → cpus/2) ----
+    // local[8]→local[32] on a 32-vCPU host-shared VM measures the HOST's
+    // oversubscription as much as the engine (the same-window sha256
+    // probe itself scales only 0.57-0.86). At 4→16 threads the host can
+    // genuinely provide ~4× the resource — the closest sandbox analogue
+    // of true cluster scale-out, reported so readers can split engine
+    // scaling from host ceiling. Gated, like the headline.
+    val isoReps = sys.env.getOrElse("GRAFT_BENCH_ISO_REPS", "1").toInt
+    val isoLow = math.max(1, cpus / 8)
+    val isoHigh = math.max(2 * isoLow, cpus / 2)
+    val isoPairs: Seq[(Lvl, Lvl)] =
+      if (skipCrawl) Seq.empty
+      else (1 to isoReps).flatMap { _ =>
+        if (elapsed > isoDeadline) {
+          System.err.println(s"[bench] iso deadline ${isoDeadline}s reached — skipping iso pair")
+          None
+        } else Some((one(isoLow, politeness, 1), one(isoHigh, politeness, 1)))
+      }
+    val iso = Summary(isoPairs, isoLow, isoHigh)
+    def isoJson(full: Boolean): String =
+      if (isoPairs.isEmpty) "null"
+      else s"""{"n_cores":$isoLow,"n4_cores":$isoHigh,""" +
+        s""""urls_per_sec_n":${iso.thrLow.toLong},"urls_per_sec_n4":${iso.thrHigh.toLong},""" +
+        s""""scaling_efficiency":${if (full) iso.eff.toString else jd(iso.eff, 3)},""" +
+        s""""hw_ceiling_efficiency":${if (full) iso.hwEff.toString else jd(iso.hwEff, 3)}}"""
 
     // ---- driver-contract query suite ----
     // GRAFT_BENCH_SKIP_QUERIES: crawl-only probes (scaling iteration)
@@ -467,30 +507,28 @@ object Bench {
       val b = once()
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.filter(_._2 >= 0).map(_._2).sum
-    val crawlJson =
-      s"""{"n_cores":$nLow,"n4_cores":$cpus,"seed_urls":$seedCount,"rounds":$rounds,""" +
-        s""""urls_n":$popLow,"sec_n":$secLow,"urls_per_sec_n":$thrLow,""" +
-        s""""urls_n4":$popHigh,"sec_n4":$secHigh,"urls_per_sec_n4":$thrHigh,""" +
-        s""""scaling_efficiency":$eff,""" +
-        s""""pair_efficiencies":${pairEffs.mkString("[", ",", "]")},""" +
-        s""""scaling_efficiency_bestof":$effBestOf,""" +
-        s""""hw_ceiling_efficiency":$hwEff,""" +
-        s""""pair_hw_ceilings":${pairHwEffs.mkString("[", ",", "]")},""" +
-        s""""pair_eff_vs_ceiling":${pairVsCeil.mkString("[", ",", "]")},""" +
-        s""""efficiency_vs_hw_ceiling":${median(pairVsCeil)},""" +
-        s""""pair_tmpfs_write_scaling":${pairWriteEffs.mkString("[", ",", "]")},""" +
-        s""""pair_tmpfs_write_mbps":${writeMBps.mkString("[", ",", "]")},""" +
-        s""""pair_parallel_efficiency":${pairParallelEff.mkString("[", ",", "]")},""" +
-        s""""parallel_efficiency":${median(pairParallelEff)},""" +
-        s""""pair_cpu_work_ratio":${pairCpuWorkRatio.mkString("[", ",", "]")},""" +
-        s""""raw_rounds_n":${rawJson(pairs.map(_._1._1))},""" +
-        s""""raw_rounds_n4":${rawJson(pairs.map(_._2._1))},""" +
-        s""""iso":$isoJson}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""sf":"$sfDir","crawl":$crawlJson}""")
+    def qsJson(dp: Int): String = results
+      .map { case (k, v) => "\"" + k + "\":" + (if (v < 0) "-1" else jd(v, dp)) }
+      .mkString("{", ",", "}")
+
+    // ---- output: ONE compact stdout line (fits the driver's ~2 KB tail
+    // capture — full 38-query object + gated headline + ungated row) and
+    // the full-precision detail sidecar. The HEADLINE (gated) campaign's
+    // fields sit directly under `crawl` — crawl.scaling_efficiency is the
+    // graded politeness-gated number, where r1-r3 readers expect it. ----
+    val common = s""""seed_urls":$seedCount,"rounds":$rounds,""" +
+      s""""gated":true,"politeness_rate":${jd(politeness, 1)},"""
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsJson(4)},""" +
+        s""""sf":"$sfDir","crawl":{$common${gated.detailFields},""" +
+        s""""ungated":${ungated.detail},"iso":${isoJson(true)}}}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
+    System.err.println(s"[bench] full detail -> BENCH_DETAIL.json")
+    println(s"""{"metric":"total","value":${jd(total, 2)},"unit":"sec","queries":${qsJson(2)},""" +
+      s""""sf":"$sfDir","crawl":{$common${gated.compactFields},""" +
+      s""""ungated":${ungated.compactSlim},"iso":${isoJson(false)},"detail":"BENCH_DETAIL.json"}}""")
     spark.stop()
   }
 }
