@@ -156,7 +156,8 @@ object Bench {
       val cfg = CrawlConfig(numBuckets = 128, perHostBudget = 100,
         perBucketBudget = math.max(40000, benchHosts), sampler = "fifo", saltFactor = 0,
         storeFiles = false, parquetBlockBytes = 16L * 1024 * 1024,
-        politenessRate = politeness, politenessBurst = math.max(1.0, politeness))
+        politenessRate = politeness, politenessBurst = math.max(1.0, politeness),
+        frontierCodec = sys.env.getOrElse("GRAFT_FRONTIER_CODEC", ""))
       val crawler = new Crawler(spark, work, sim, cfg)
       val seeds = spark.range(seedCount).select(
         concat(lit("http://h"),

@@ -61,10 +61,28 @@ class Crawler(
     * append-only [[seen]] archive the round they are popped, so the
     * per-round rewrite is O(pool + delta), never O(ever-seen) — at the
     * 10^10 design point the ever-seen set dwarfs the live pool and
-    * rewriting it every round was the unbounded term (round 3). */
+    * rewriting it every round was the unbounded term (round 3).
+    *
+    * The files are SLIM (r4): `host`/`host_bucket`/`last_visit` are
+    * derivable (pure functions of url / constant 0) and are dropped at
+    * write, restored at read ([[Frontier.restorePool]]) — the rewrite is
+    * the round's least-scaling stage (sort + encode + fresh-page commits
+    * are byte-proportional), so every derivable byte is paid for twice
+    * per round for nothing. Dictionary encoding is off for these files:
+    * urls are near-unique per bucket, so parquet's per-page dictionary
+    * attempt is pure wasted encode CPU. */
   val frontierTable = new IcebergishTable(s"$workDir/frontier", Frontier.schema,
     sortCols = Seq("host", "depth", "discovered_at", "url"),
-    writerOptions = writerOptions)
+    writerOptions = writerOptions ++
+      Map("parquet.enable.dictionary" -> "false") ++
+      (if (cfg.frontierCodec.nonEmpty) Map("compression" -> cfg.frontierCodec)
+       else Map.empty),
+    dropCols = Seq("host", "host_bucket", "last_visit"))
+
+  /** The pool with derived columns restored — every consumer of the
+    * frontier table reads THIS view. */
+  private def poolView: DataFrame =
+    Frontier.restorePool(frontierTable.read(spark), cfg.numBuckets)
   val seenFilters = new graft.frontier.SeenFilterStore(workDir)
   private def docsDir = s"$workDir/docs"
   private def seenDir = s"$workDir/seen"
@@ -112,7 +130,7 @@ class Crawler(
     * any size — 10^10-scale seed lists never pass through the driver. */
   def addSeedCandidates(raw: DataFrame): Long = {
     val cands = Frontier.normalizeCandidates(raw, cfg.numBuckets, cfg.respectRobots)
-    val pool = frontierTable.read(spark)
+    val pool = poolView
     // the seen-set check is against EVERYTHING ever seen: live pool +
     // archive. Manifest row count + archive counter as the cardinality
     // hint — newOnly would otherwise pay a count() scan on every re-seed.
@@ -159,7 +177,7 @@ class Crawler(
     val r = lastRound + 1
     val poolRowsHint = frontierTable.currentSnapshot().map(_.rows).getOrElse(0L)
     val frontierRowsHint = poolRowsHint + seenRows
-    val pool = frontierTable.read(spark)
+    val pool = poolView
     // the POOL is exactly the unvisited queue — fifo/uniform pops read it
     // alone (the seen archive never re-enters the pop path); only the
     // pair sampler (visit-count weights) and unique=false re-pops need
@@ -557,7 +575,7 @@ class Crawler(
     * archive row per visit — collapse to one row per url with the latest
     * visit mark, exactly the single-table update-in-place semantics. */
   def frontier(): DataFrame = {
-    val v = frontierTable.read(spark).unionByName(seen())
+    val v = poolView.unionByName(seen())
     if (cfg.unique) v
     else v.groupBy("url", "host", "host_bucket", "depth", "discovered_at")
       .agg(max("last_visit").as("last_visit"))
@@ -592,7 +610,12 @@ case class CrawlConfig(
       * (128 MB — right for object storage at the 10^10 design point, but a
       * per-writer-task heap buffer at local[32]: 64 concurrent writers ×
       * 128 MB would out-size the whole young gen. Benches set ~16 MB). */
-    parquetBlockBytes: Long = 0L)
+    parquetBlockBytes: Long = 0L,
+    /** Compression codec for the FRONTIER bucket files only ("" = session
+      * default). The pool rewrite is encode-CPU- and fresh-page-bound in
+      * different host regimes — the knob lets benches A/B zstd (fewest
+      * bytes) against snappy/lz4 (least encode CPU). */
+    frontierCodec: String = "")
 
 case class RoundStats(
     round: Int,

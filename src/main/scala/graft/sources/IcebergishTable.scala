@@ -50,7 +50,20 @@ class IcebergishTable(val root: String, schema: StructType,
     /** Extra options for the parquet writes (e.g. `parquet.block.size` —
       * the default 128 MB row-group buffer per concurrent writer task is
       * real heap at local[32]; bucket files are a few MB here anyway). */
-    writerOptions: Map[String, String] = Map.empty) extends Serializable {
+    writerOptions: Map[String, String] = Map.empty,
+    /** Columns DROPPED from the data files right after the commit sort —
+      * for columns the reader can derive (the frontier's `host` and
+      * `host_bucket` are pure functions of `url`; `last_visit` is
+      * constant 0 in the pool). Every dropped byte is paid per round in
+      * sort+encode CPU and fresh-page commits — at 27 M pool rows the
+      * derivable columns were ~25 % of the rewrite volume. Callers that
+      * drop columns must restore them on read (see
+      * [[graft.frontier.Frontier.restorePool]]). */
+    dropCols: Seq[String] = Nil) extends Serializable {
+
+  /** The on-file schema (full schema minus [[dropCols]]). */
+  private val fileSchema: StructType =
+    StructType(schema.filterNot(f => dropCols.contains(f.name)))
 
   private def manifestPath = Paths.get(root, "manifest.json")
 
@@ -85,9 +98,9 @@ class IcebergishTable(val root: String, schema: StructType,
   def read(spark: SparkSession): DataFrame =
     currentSnapshot() match {
       case Some(s) if s.buckets.nonEmpty =>
-        spark.read.schema(schema).parquet(s.bucketPaths(root): _*)
+        spark.read.schema(fileSchema).parquet(s.bucketPaths(root): _*)
       case _ =>
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fileSchema)
     }
 
   /**
@@ -121,10 +134,13 @@ class IcebergishTable(val root: String, schema: StructType,
     val keyed = df.withColumn("hb", col(bucketCol)) // partition dir key
     val clustered0 =
       if (preClustered) keyed else keyed.repartition(col(bucketCol))
-    val clustered =
+    val clustered1 =
       if (sortCols.nonEmpty)
         clustered0.sortWithinPartitions((col("hb") +: sortCols.map(col)): _*)
       else clustered0
+    // a projection after the sort is narrow — file row order is preserved
+    val clustered =
+      if (dropCols.isEmpty) clustered1 else clustered1.drop(dropCols: _*)
     val timing = sys.env.contains("GRAFT_ROUND_TIMING")
     def timed[T](label: String)(f: => T): T = {
       if (!timing) f
