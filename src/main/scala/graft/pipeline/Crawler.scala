@@ -91,18 +91,35 @@ class Crawler(
 
   /** Committed archive rounds, with the `round` partition column; the
     * explicit schema (a) skips footer-based inference and (b) makes an
-    * empty/torn archive dir read as zero rows instead of failing. */
+    * empty/torn archive dir read as zero rows instead of failing.
+    *
+    * Archive data files are SLIM like the pool's (r4): they store only
+    * (url, depth, discovered_at) — `host` is a pure function of url,
+    * `host_bucket` is the partition dir, and `last_visit` is ALWAYS the
+    * round the row was archived, i.e. the `round` partition value (a
+    * re-visit under unique=false appends a new row in ITS round dir, so
+    * the equality holds per row in every regime). The archive write is
+    * one of the three byte-proportional per-round writes; every derivable
+    * byte costs fixed ~200 MB/s page-commit time on this host and object
+    * -store puts at the design point. */
   private def seenWithRound: DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
     if (!Files.exists(Paths.get(seenDir)))
       return spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Frontier.schema)
         .withColumn("round", lit(0))
+    graft.functions.GraftExpressions.register(spark)
+    val fileSchema = StructType(
+      Frontier.schema.filter(f => Seq("url", "depth", "discovered_at").contains(f.name)) ++
+        Seq(StructField("host_bucket", IntegerType), StructField("round", IntegerType)))
     spark.read
-      .schema(Frontier.schema.add(
-        org.apache.spark.sql.types.StructField(
-          "round", org.apache.spark.sql.types.IntegerType)))
+      .schema(fileSchema)
       .parquet(seenDir)
       .filter(col("round") <= lastRound)
+      .select(col("url"),
+        graft.functions.GraftExpressions.url_host(col("url")).as("host"),
+        col("host_bucket"), col("depth"), col("discovered_at"),
+        col("round").cast("long").as("last_visit"), col("round"))
   }
 
   /** Cumulative archive row count (popped totals); recovered on resume
@@ -396,9 +413,10 @@ class Crawler(
     @volatile var seenWriteError: Throwable = null
     // partitionBy(host_bucket): each archive round is laid out per bucket,
     // so the SeenIndex (partition-local exact membership) can read ONLY
-    // its own bucket's slice, column-pruned to `url`
+    // its own bucket's slice, column-pruned to `url`. SLIM data files:
+    // host/last_visit are derivable (see seenWithRound) and never written.
     val seenWrite = new Thread(() =>
-      try popped.withColumn("last_visit", lit(r.toLong))
+      try popped.select("url", "host_bucket", "depth", "discovered_at")
         .write.mode(SaveMode.Overwrite).options(writerOptions)
         .partitionBy("host_bucket")
         .parquet(s"$seenDir/round=$r")
