@@ -84,6 +84,19 @@ class Crawler(
   private def poolView: DataFrame =
     Frontier.restorePool(frontierTable.read(spark), cfg.numBuckets)
   val seenFilters = new graft.frontier.SeenFilterStore(workDir)
+
+  /** Politeness state past this many hosts falls back to the window form
+    * (the broadcast map and the driver-resident cache share the bound). */
+  private val broadcastStateMax = 20000000
+
+  /** Driver-resident politeness state (r4): the map round r needs is the
+    * one round r-1 just computed — re-reading the state parquet and
+    * re-collecting it every round cost two driver-latency jobs at the
+    * round HEAD, a fixed per-round cost the N→4N gate punishes on the
+    * fast side. Keyed by the round that wrote it; parquet stays the
+    * durable copy (resume and torn-round replay read it — Thread.join
+    * before the manifest rename orders the write before any reader). */
+  private var politenessCache: Option[(Int, java.util.HashMap[String, (Double, Long)])] = None
   private def docsDir = s"$workDir/docs"
   private def seenDir = s"$workDir/seen"
 
@@ -210,8 +223,15 @@ class Crawler(
     // output; gated rounds cache the pop output WITH its admission flag
     // and treat `popped` as a filter view over that cache.
     val gated = cfg.politenessRate > 0
+    // driver-resident fast path: the cache holds exactly what round r-1's
+    // state write produced; when it misses (fresh instance, resume, an
+    // exhausted round that wrote no state) the parquet path below is the
+    // fallback — identical content by construction.
+    val cachedStateMap =
+      if (gated) politenessCache.collect { case (pr, m) if pr == r - 1 => m }
+      else None
     val prevState =
-      if (!gated) null
+      if (!gated || cachedStateMap.isDefined) null
       else {
         val p = Paths.get(s"$workDir/politeness/round-${r - 1}")
         if (Files.exists(p)) spark.read.parquet(p.toString)
@@ -228,9 +248,13 @@ class Crawler(
     def popPlain() = Frontier.pop(popSource, cfg.sampler, cfg.seed,
       cfg.perHostBudget, cfg.perBucketBudget, cfg.unique, cfg.boost,
       sorted = true)
+    val stateMap =
+      if (!gated) None
+      else cachedStateMap.orElse(
+        graft.streaming.Politeness.stateMapOf(prevState, broadcastStateMax))
     val cached = (
       if (!gated) popPlain()
-      else graft.streaming.Politeness.stateMapOf(prevState, 20000000) match {
+      else stateMap match {
         case Some(m) if sortedFifo =>
           Frontier.popSortedFifoFlagged(popSource, cfg.perHostBudget,
             cfg.perBucketBudget, spark.sparkContext.broadcast(m), r.toLong,
@@ -364,14 +388,48 @@ class Crawler(
       if (stateWriteError != null) throw stateWriteError
     }
     if (gated && offeredN > 0) {
-      // per-host aggregate reads the SAME cached plan (CacheManager
-      // matches the canonicalized plan), never the raw pop
-      val newState = graft.streaming.Politeness.nextState(
-        cached, prevState, r.toLong, cfg.politenessRate, cfg.politenessBurst)
       val t = new Thread(() =>
-        try newState.write.mode(SaveMode.Overwrite)
-          .parquet(s"$workDir/politeness/round-$r")
-        catch { case e: Throwable => stateWriteError = e })
+        try stateMap match {
+          case Some(m) =>
+            // driver-resident path: ONE tiny per-host aggregate over the
+            // cache (map-side combined), merged into the resident map on
+            // the driver with the same refill algebra as the column form
+            // — no state-parquet scan, no broadcast joins. The table is
+            // written host-sorted from the driver (canonical bytes: a
+            // torn-round replay rebuilds the identical file regardless of
+            // map iteration order), and the merged map seeds round r+1,
+            // whose state read + collect jobs disappear entirely.
+            val perHost = cached.groupBy(col("host"))
+              .agg(sum(when(col("admit"), 1L).otherwise(0L)).as("adm_n"))
+              .collect()
+            val merged = new java.util.HashMap[String, (Double, Long)](m)
+            perHost.foreach { row =>
+              val h = row.getString(0)
+              val refilled = graft.streaming.Politeness.refillAmount(
+                merged.get(h), r.toLong, cfg.politenessRate, cfg.politenessBurst)
+              merged.put(h, (refilled - row.getLong(1), r.toLong))
+            }
+            val rows = {
+              import scala.jdk.CollectionConverters._
+              merged.entrySet().iterator().asScala
+                .map(e => (e.getKey, e.getValue._1, e.getValue._2))
+                .toArray.sortBy(_._1)
+            }
+            rows.toSeq.toDF("host", "tokens", "last_round")
+              .repartition(1)
+              .write.mode(SaveMode.Overwrite)
+              .parquet(s"$workDir/politeness/round-$r")
+            politenessCache =
+              if (merged.size > broadcastStateMax) None else Some((r, merged))
+          case None =>
+            // window-form regime (> broadcastStateMax hosts): keep the
+            // distributed aggregate + joins; no resident map at that scale
+            graft.streaming.Politeness.nextState(
+              cached, prevState, r.toLong, cfg.politenessRate, cfg.politenessBurst)
+              .write.mode(SaveMode.Overwrite)
+              .parquet(s"$workDir/politeness/round-$r")
+            politenessCache = None
+        } catch { case e: Throwable => stateWriteError = e })
       t.setName(s"politeness-state-r$r")
       t.start()
       stateWrite = Some(t)

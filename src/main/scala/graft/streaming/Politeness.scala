@@ -132,14 +132,21 @@ object Politeness {
     }
   }
 
-  /** The floor(tokens) admission limit for one host this round — the ONE
-    * refill formula every politeness form shares. */
-  def admitLimit(st: (Double, Long), roundId: Long,
-      ratePerRound: Double, burst: Double): Int = {
+  /** The refilled token balance for one host at `roundId` — the ONE
+    * refill formula every politeness form shares. Bit-identical to the
+    * column form in [[nextState]] (same IEEE op order: long round gap ×
+    * rate, + tokens, min against burst), so the driver-resident state
+    * path writes byte-equal tables to the distributed one. */
+  def refillAmount(st: (Double, Long), roundId: Long,
+      ratePerRound: Double, burst: Double): Double = {
     val (tok, last) = if (st == null) (burst, roundId - 1) else st
-    math.floor(math.min(burst,
-      tok + math.max(0L, roundId - last) * ratePerRound)).toInt
+    math.min(burst, tok + math.max(0L, roundId - last) * ratePerRound)
   }
+
+  /** The floor(tokens) admission limit for one host this round. */
+  def admitLimit(st: (Double, Long), roundId: Long,
+      ratePerRound: Double, burst: Double): Int =
+    math.floor(refillAmount(st, roundId, ratePerRound, burst)).toInt
 
   def flagAdmissions(popped: org.apache.spark.sql.DataFrame,
       state: org.apache.spark.sql.DataFrame, roundId: Long,

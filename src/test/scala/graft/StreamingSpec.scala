@@ -260,4 +260,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(stats2.isEmpty, s"resumed crawl should be drained, got $stats2")
     assert(c2.docs().count() == n)
   }
+
+  test("driver-resident politeness state ≡ cold per-round parquet path") {
+    // The hot path seeds round r+1's admission map from the map round r
+    // just merged on the driver; the cold path (a FRESH Crawler instance
+    // every round) can never hit that cache and always reloads the state
+    // parquet. Same seeds + fractional rate ⇒ identical visited sets,
+    // identical per-(host, round) admissions, and identical state-table
+    // rows (exact doubles) for every round.
+    val cfg = CrawlConfig(numBuckets = 4, perHostBudget = 10,
+      perBucketBudget = 1000000, politenessRate = 0.7, politenessBurst = 2.0)
+    def mkSim() = new FetchSim(numHosts = 3, pagesPerHost = 12, linksPerPage = 2)
+    val seeds = (0 until 6).flatMap(i =>
+      (0 until 3).map(h => s"http://h$h.test/p/$i"))
+    val rounds = 5
+
+    val dirHot = tmpDir()
+    val hot = new Crawler(spark, dirHot, mkSim(), cfg)
+    hot.addSeeds(seeds)
+    (1 to rounds).foreach(_ => hot.round())
+
+    val dirCold = tmpDir()
+    new Crawler(spark, dirCold, mkSim(), cfg).addSeeds(seeds)
+    (1 to rounds).foreach(_ => new Crawler(spark, dirCold, mkSim(), cfg).round())
+
+    def visits(dir: String): Map[(String, Long), Long] = {
+      val c = new Crawler(spark, dir, mkSim(), cfg)
+      c.frontier().filter(col("last_visit") > 0)
+        .groupBy(col("host"), col("last_visit")).count().collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    }
+    val hv = visits(dirHot)
+    assert(hv.nonEmpty && hv == visits(dirCold))
+
+    def stateRows(dir: String, r: Int): Seq[(String, Double, Long)] =
+      spark.read.parquet(s"$dir/politeness/round-$r")
+        .select("host", "tokens", "last_round").collect()
+        .map(x => (x.getString(0), x.getDouble(1), x.getLong(2)))
+        .sortBy(_._1).toSeq
+    (1 to rounds).foreach { r =>
+      assert(stateRows(dirHot, r) == stateRows(dirCold, r),
+        s"state table diverged at round $r")
+    }
+  }
 }
