@@ -158,8 +158,107 @@ object Correlate {
    * per action (request arrival order): request → response → body → error
    * spans; then console spans in seq order (store/store.go:185); then media
    * spans by taken order. All payloads render via [[Json]] with sorted keys.
+   *
+   * One-pass renderer: each span payload is appended into `sb` (reused
+   * across rows by the fetch mapPartitions) and materialized exactly once,
+   * instead of the combinator form's escape→concat→copy chain per nesting
+   * level. Byte-identical to [[docFromSessionSpec]] — property-tested over
+   * fixture, chain, and synth fetches plus adversarial escape inputs
+   * (FetchCorrelateSpec "hot renderer ≡ combinator spec").
    */
-  def docFromSession(s: Session): Doc = {
+  def docFromSession(s: Session): Doc =
+    docFromSession(s, new java.lang.StringBuilder(4096))
+
+  def docFromSession(s: Session, sb: java.lang.StringBuilder): Doc = {
+    val spans = scala.collection.mutable.ArrayBuffer.empty[Span]
+    def add(kind: String, mediaRef: String = ""): Unit = {
+      spans += Span(kind, sb.toString, mediaRef, spans.length)
+      sb.setLength(0)
+    }
+    sb.setLength(0)
+    s.actions.foreach { a =>
+      sb.append("{\"idx\":").append(a.idx.toLong)
+      sb.append(",\"parent_idx\":").append(a.parent_idx.toLong)
+      sb.append(",\"url\":"); Json.strTo(sb, a.url)
+      sb.append(",\"method\":"); Json.strTo(sb, a.method)
+      sb.append(",\"initiator\":{\"kind\":"); Json.strTo(sb, a.initiator_kind)
+      sb.append(",\"func\":"); Json.strTo(sb, a.stack_func)
+      sb.append(",\"line\":").append(a.stack_line.toLong)
+      sb.append(",\"col\":").append(a.stack_col.toLong)
+      sb.append("},\"headers\":"); Json.sortedMapTo(sb, a.req_headers)
+      sb.append(",\"post_data\":"); Json.strTo(sb, a.post_data)
+      sb.append('}')
+      add("request")
+      if (a.status > 0) {
+        sb.append("{\"idx\":").append(a.idx.toLong)
+        sb.append(",\"status\":").append(a.status.toLong)
+        sb.append(",\"mime\":"); Json.strTo(sb, a.mime_browser)
+        sb.append(",\"protocol\":"); Json.strTo(sb, a.protocol)
+        sb.append(",\"headers\":"); Json.sortedMapTo(sb, a.resp_headers)
+        if (a.sec_protocol.nonEmpty) {
+          sb.append(",\"sec\":{\"protocol\":"); Json.strTo(sb, a.sec_protocol)
+          sb.append(",\"key_exchange\":"); Json.strTo(sb, a.sec_key_exchange)
+          sb.append(",\"issuer\":"); Json.strTo(sb, a.sec_issuer)
+          sb.append(",\"cipher\":"); Json.strTo(sb, a.sec_cipher)
+          sb.append(",\"san_list\":[")
+          val it = a.sec_san_list.iterator
+          var first = true
+          while (it.hasNext) {
+            if (!first) sb.append(',')
+            first = false
+            Json.strTo(sb, it.next())
+          }
+          sb.append("],\"subject\":"); Json.strTo(sb, a.sec_subject)
+          sb.append(",\"valid_from\":").append(a.sec_valid_from)
+          sb.append(",\"valid_to\":").append(a.sec_valid_to)
+          sb.append('}')
+        }
+        sb.append('}')
+        add("response")
+      }
+      if (a.body_sha256.nonEmpty) {
+        sb.append("{\"idx\":").append(a.idx.toLong)
+        sb.append(",\"sha256\":"); Json.strTo(sb, a.body_sha256)
+        sb.append(",\"size\":").append(a.body_size)
+        sb.append(",\"mime_browser\":"); Json.strTo(sb, a.mime_browser)
+        sb.append(",\"mime_determined\":"); Json.strTo(sb, a.mime_determined)
+        sb.append(",\"text\":"); Json.strTo(sb, a.body_text)
+        sb.append('}')
+        add("body", bodyRef(a.body_sha256, a.mime_determined))
+      }
+      if (a.error.nonEmpty) {
+        sb.append("{\"idx\":").append(a.idx.toLong)
+        sb.append(",\"error\":"); Json.strTo(sb, a.error)
+        sb.append('}')
+        add("error")
+      }
+    }
+    var ci = 0
+    s.console.foreach { c =>
+      ci += 1
+      sb.append("{\"seq\":").append(ci.toLong)
+      sb.append(",\"msg\":"); Json.strTo(sb, c.msg)
+      sb.append(",\"line\":").append(c.line.toLong)
+      sb.append(",\"col\":").append(c.col.toLong)
+      sb.append(",\"func\":"); Json.strTo(sb, c.func)
+      sb.append(",\"url\":"); Json.strTo(sb, c.url)
+      sb.append('}')
+      add("console")
+    }
+    s.screenshots.foreach { ref =>
+      sb.append("{\"kind\":\"png\",\"resolution\":\"")
+        .append(s.resolution_w).append('x').append(s.resolution_h)
+        .append("\"}")
+      add("media", ref)
+    }
+    Doc(s.doc_id, spans.toSeq)
+  }
+
+  /** The combinator-form specification of [[docFromSession]] — retained
+    * verbatim as the byte-level reference the hot renderer is
+    * property-tested against (same pattern as the window-form politeness
+    * fallback and the column-algebra expression twins). */
+  private[graft] def docFromSessionSpec(s: Session): Doc = {
     val spans = scala.collection.mutable.ArrayBuffer.empty[Span]
     def add(kind: String, text: String, mediaRef: String = ""): Unit =
       spans += Span(kind, text, mediaRef, spans.length)
