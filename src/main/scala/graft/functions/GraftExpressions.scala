@@ -277,6 +277,73 @@ object GraftExpressions {
   }
 
   /**
+   * `simhash60(tokens array<string>)` — the 60-bit SimHash sketch in ONE
+   * primitive pass. Bit-identical by construction to the column-algebra
+   * form in [[graft.operators.Dedup.simhashHof]] (per token
+   * `h = conv(substring(md5(t),1,15),16,10)` — the top 60 bits of the md5
+   * digest, i.e. the big-endian long of its first 8 bytes >>> 4 — then
+   * `signs[j] += ((h >> j) & 1)*2-1` and final bit j set iff
+   * `signs[j] > 0`), property-tested in OperatorsSpec. md5 is kept (not
+   * xxhash64) because DuckDB can replay it — the q28 oracle rebuilds the
+   * sketch in SQL, so the hash family is part of the verified contract.
+   *
+   * The HOF form dispatched 60 interpreted lambdas PER TOKEN through three
+   * nested higher-order functions and allocated two fresh 60-element
+   * arrays per token (~doc_len·120 allocations per row) — it was q28's
+   * dominant cost, the same tax profile `minhash_sig` removed from q25.
+   *
+   * Null semantics match the HOF fold: null array → null; a null ELEMENT
+   * poisons every sign slot at once (null arithmetic), after which
+   * `when(s > 0, ...).otherwise(0)` emits 0 for every bit → 0L.
+   * Interpreted eval only (CodegenFallback): the md5 + 60-bit loop
+   * dominates, not the dispatch.
+   */
+  case class Simhash60(child: Expression) extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "simhash60"
+    override def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = arr.numElements()
+      val signs = new Array[Int](60)
+      val md = GraftExpressions.md5Local.get()
+      var k = 0
+      while (k < n) {
+        if (arr.isNullAt(k)) return 0L // null token nulls ALL signs → all-zero bits
+        md.reset()
+        md.update(arr.getUTF8String(k).getBytes)
+        val d = md.digest()
+        // big-endian long of the first 8 digest bytes, >>> 4 = first 15 hex
+        // chars = conv(substring(md5(t),1,15),16,10)
+        var l = 0L
+        var b = 0
+        while (b < 8) { l = (l << 8) | (d(b) & 0xffL); b += 1 }
+        val h = l >>> 4
+        var j = 0
+        while (j < 60) {
+          signs(j) += (((h >>> j) & 1L).toInt * 2) - 1
+          j += 1
+        }
+        k += 1
+      }
+      var res = 0L
+      var j = 0
+      while (j < 60) {
+        if (signs(j) > 0) res |= 1L << j
+        j += 1
+      }
+      res
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Per-thread MD5 instance for [[Simhash60]] (MessageDigest is stateful
+    * and not thread-safe; expression trees can be shared across tasks). */
+  private[functions] val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /**
    * Per-bucket row counts as ONE aggregate value: `bucket_counts(b, n)`
    * yields an `array<long>` of length `n` where slot `i` counts the rows
    * with `b = i` (null and out-of-range inputs are skipped — so
@@ -348,6 +415,8 @@ object GraftExpressions {
       es => MinhashSig(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim",
       es => CosineSim(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash60",
+      es => Simhash60(es.head), "scala_udf")
     // aggregate: the analyzer wraps a bare AggregateFunction builder in
     // AggregateExpression; arg1 must be a foldable int literal
     reg.createOrReplaceTempFunction("bucket_counts",
@@ -383,6 +452,7 @@ object GraftExpressions {
   def jaccard_sorted(a: Column, b: Column): Column = call_function("jaccard_sorted", a, b)
   def minhash_sig(sh: Column, n: Column): Column = call_function("minhash_sig", sh, n)
   def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+  def simhash60(tokens: Column): Column = call_function("simhash60", tokens)
   def bucket_counts(b: Column, n: Int): Column =
     call_function("bucket_counts", b, org.apache.spark.sql.functions.lit(n))
   def seen_index_contains(url: Column, root: String, cutoff: Int): Column =

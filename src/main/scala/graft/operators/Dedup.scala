@@ -188,10 +188,21 @@ object Dedup {
     conv(substring(md5(t), 1, 15), 16, 10).cast("long")
 
   /** 60-bit SimHash of the token multiset: bit j = sign of the sum over
-    * tokens of (bit j of md5Hash60(token) ? +1 : -1). Pure column algebra —
-    * aggregate + zip_with, no UDF; each token is md5-hashed exactly ONCE
-    * (the per-bit lambda reads a bound variable, not the hash expr). */
-  def simhash(textCol: Column): Column = {
+    * tokens of (bit j of md5Hash60(token) ? +1 : -1). One-pass custom
+    * expression ([[graft.functions.GraftExpressions.Simhash60]]) —
+    * bit-identical to [[simhashHof]], the column-algebra reference the
+    * OperatorsSpec property test replays (the HOF form dispatched 60
+    * interpreted lambdas per token and was q28's dominant cost).
+    * Requires [[graft.functions.GraftExpressions.register]] once per
+    * session (callers inside this object do it; [[simhashPairs]] does). */
+  def simhash(textCol: Column): Column =
+    graft.functions.GraftExpressions.simhash60(TextOps.tokens(textCol))
+
+  /** The column-algebra form [[simhash]]'s custom expression replaced —
+    * kept ONLY as the bit-identity reference for OperatorsSpec's property
+    * test, never on the hot path (see [[Dedup.minhashSignatureHof]] for
+    * the same discipline on the MinHash side). */
+  def simhashHof(textCol: Column): Column = {
     val hs = transform(TextOps.tokens(textCol), t => md5Hash60(t))
     val signs = aggregate(
       hs,
@@ -215,6 +226,7 @@ object Dedup {
    */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-block pigeonhole covers hamming <= 3")
+    graft.functions.GraftExpressions.register(docs.sparkSession)
     val prep = docs.select(col("doc_id"), simhash(col("text")).as("sh64"))
     val blocked = prep.select(col("doc_id"), col("sh64"),
       posexplode(transform(sequence(lit(0), lit(3)),
@@ -301,7 +313,16 @@ object Dedup {
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {
-      val next = symmetric(smallStar(symmetric(largeStar(e)))).localCheckpoint(true)
+      // largeStar's output is already in small-star's canonical form —
+      // every row (u, v) has v < u strictly (v = m ≤ old-u < old-v, no
+      // self-loops), each undirected edge exactly once (up to duplicate
+      // rows, which min-aggregates ignore and the outer symmetric's
+      // distinct removes) — so the symmetric closure between the two star
+      // ops (union + distinct: one full shuffle of 2|E| rows per
+      // iteration) added nothing smallStar's own v<u filter didn't
+      // immediately discard. Only the OUTER closure is load-bearing: the
+      // next largeStar needs full neighborhoods.
+      val next = symmetric(smallStar(largeStar(e))).localCheckpoint(true)
       val nextSig = checksum(next)
       if (nextSig == sig) converged = true
       else { e = next; sig = nextSig }

@@ -18,6 +18,12 @@ object DedupProbe {
     t("q24 again (warm)")(println("pairs=" + Dedup.ngramJaccardPairs(docs, 3, 0.5).count()))
     t("q25 minhash full")(println("pairs=" + Dedup.minhashLshPairs(docs, 3, 0.8).count()))
     t("q28 simhash full")(println("pairs=" + Dedup.simhashPairs(docs, 3).count()))
+    // q33 split: pair generation vs the CC driver loop (pairs pinned so the
+    // CC timing doesn't re-run the PPJoin)
+    val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.5).persist()
+    t("q33 pairs materialize")(println("pairs=" + pairs.count()))
+    t("q33 cc only")(println("nodes=" + Dedup.connectedComponents(pairs).count()))
+    t("q33 cc only (warm)")(println("nodes=" + Dedup.connectedComponents(pairs).count()))
     spark.stop()
   }
 }

@@ -62,6 +62,26 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash60 expression is bit-identical to the HOF column-algebra reference") {
+    // block assignments (and so pigeonhole recall) depend on EXACT sketch
+    // bits: the one-pass expression must reproduce the md5-derived 60-bit
+    // composition of the higher-order-function form — including empty
+    // texts (0L), unicode tokens, heavy repetition (sign saturation), and
+    // a single-token doc (every sign ±1, sketch = the token hash)
+    graft.functions.GraftExpressions.register(spark)
+    val docs = corpus().unionByName(Seq(
+      100L -> "", 101L -> "ünïcode tökens über all",
+      102L -> "a b a b a", 103L -> "solo").toDF("doc_id", "text"))
+    val both = docs.select(col("doc_id"),
+      Dedup.simhash(col("text")).as("fast"),
+      Dedup.simhashHof(col("text")).as("ref"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"simhash mismatch for doc ${r.getLong(0)}: ${r.getLong(1)} vs ${r.getLong(2)}")
+    }
+  }
+
   test("cosine_sim expression is bit-identical to the HOF column-algebra reference") {
     graft.functions.GraftExpressions.register(spark)
     // deterministic pseudo-random float vectors — exact double equality
@@ -102,6 +122,7 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("simhash: near-identical texts land within small hamming; pairs found by pigeonhole blocks") {
+    graft.functions.GraftExpressions.register(spark)
     val sh = corpus().select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sh(0L) == sh(1L), "normalization-identical docs must hash equal")
