@@ -159,11 +159,7 @@ object Providers {
     * extension. */
   def writeFeedSnapshot(dir: String, firstId: Long, count: Int,
       gzip: Boolean = false): Unit = {
-    val entries = (0 until count).map { i =>
-      val id = firstId + i
-      s"""{"phish_id":"$id","url":"http://h${id % 50}.test/p/${id % 20}"}"""
-    }.mkString("[", ",", "]")
-    val payload = s"""{"payload":"${entries.replace("\"", "\\\"")}"}"""
+    val payload = feedSnapshotPayload(firstId, count)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     if (!gzip)
       java.nio.file.Files.writeString(
@@ -175,5 +171,16 @@ object Providers {
       try out.write(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     }
+  }
+
+  /** The deterministic snapshot document [[writeFeedSnapshot]] writes —
+    * exposed so the loopback feed-SERVER test ([[FeedPoller]]) can serve
+    * byte-identical content over HTTP. */
+  def feedSnapshotPayload(firstId: Long, count: Int): String = {
+    val entries = (0 until count).map { i =>
+      val id = firstId + i
+      s"""{"phish_id":"$id","url":"http://h${id % 50}.test/p/${id % 20}"}"""
+    }.mkString("[", ",", "]")
+    s"""{"payload":"${entries.replace("\"", "\\\"")}"}"""
   }
 }

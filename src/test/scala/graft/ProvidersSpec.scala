@@ -109,6 +109,61 @@ class ProvidersSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("FeedPoller: ETag conditional GET over loopback HTTP — 304 skips, changed feed flows into the stream") {
+    // the reference polls the PhishTank URL with Etag change-detection and
+    // gunzips the body (provider.go:179-216); this drives that exact loop
+    // against an in-JVM HTTP server: poll → 304 (unchanged) → new ETag →
+    // new snapshot, then the UNCHANGED streaming pipeline consumes the
+    // polled directory with exactly-once ids.
+    def gz(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.util.zip.GZIPOutputStream(bos)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+      bos.toByteArray
+    }
+    val feedDir = tmpDir()
+    @volatile var etag = "\"v1\""
+    @volatile var body = gz(Providers.feedSnapshotPayload(1, 3)) // ids 1..3
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/feed.json.gz", ex => {
+      val inm = ex.getRequestHeaders.getFirst("If-None-Match")
+      if (inm != null && inm == etag) ex.sendResponseHeaders(304, -1)
+      else {
+        ex.getResponseHeaders.add("ETag", etag)
+        ex.sendResponseHeaders(200, body.length.toLong)
+        ex.getResponseBody.write(body)
+      }
+      ex.close()
+    })
+    server.start()
+    try {
+      val p = new graft.sources.FeedPoller(
+        s"http://127.0.0.1:${server.getAddress.getPort}/feed.json.gz", feedDir)
+      assert(p.pollOnce(), "first poll must land a snapshot")
+      assert(!p.pollOnce(), "unchanged ETag must 304-skip")
+      assert(!p.pollOnce(), "still unchanged")
+      // the feed updates: overlapping ids 2..6 under a new validator
+      etag = "\"v2\""
+      body = gz(Providers.feedSnapshotPayload(2, 5))
+      assert(p.pollOnce(), "changed ETag must land a snapshot")
+      assert(p.etag.contains("\"v2\""))
+      // gzip bytes kept verbatim under the extension the file source gunzips
+      import scala.jdk.CollectionConverters._
+      val names = java.nio.file.Files.list(java.nio.file.Paths.get(feedDir))
+        .iterator().asScala.map(_.getFileName.toString).toSeq.sorted
+      assert(names == Seq("feed-000000.json.gz", "feed-000001.json.gz"), names)
+      val q = Providers.feedStreamHwm(spark, feedDir)
+        .writeStream.format("memory").queryName("feed_http_out")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val ids = spark.table("feed_http_out").collect().map(_.getAs[Long]("id")).sorted
+        assert(ids.toSeq == (1L to 6L), s"got ${ids.toSeq}")
+      } finally q.stop()
+    } finally server.stop(0)
+  }
+
   test("consume unions providers; middleware skip/only filters compose") {
     import spark.implicits._
     val a = Seq("http://a.test/1").toDF("url")
