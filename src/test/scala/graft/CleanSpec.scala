@@ -26,7 +26,10 @@ class CleanSpec extends AnyFunSuite {
     val docs = Seq(1L -> "the x y z p q r s the t").toDF("doc_id", "text")
     val r = Clean.lineFilter(docs, chunk = 4, minWords = 3).collect().head
     assert(r.getLong(1) == 3 && r.getLong(2) == 1)         // total, kept
-    assert(r.getDouble(3) == math.rint(1.0 / 3 * 1e6) / 1e6)
+    // HALF_UP like the operator/oracle (1/3 has no .5 tie, but the helper
+    // must encode the same rounding rule as the code under test)
+    assert(r.getDouble(3) == BigDecimal(1.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     assert(r.getLong(4) == "the x y z".length)
     // the reconstructed-text hash matches the surviving line exactly
     val want = Seq("the x y z").mkString(" ")
