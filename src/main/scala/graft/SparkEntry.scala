@@ -460,6 +460,24 @@ object SparkEntry {
     "q47_lm_perplexity" -> ((s, dir) => {
       Corpus.lmPerplexity(t(s, dir, "documents"))
         .orderBy("doc_id")
+    }),
+
+    // Canonical-doc selection — the fuzzy-dedup END-STEP: within each q33
+    // connected component keep the highest-QUALITY member (micro-quantized
+    // q23 score, ties → min doc_id), not the arbitrary component-min. The
+    // oracle replays the closure, the quality formula, and the argmax.
+    "q48_canonical_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
+      Dedup.canonicalDocs(docs, Dedup.dedupGroups(docs, pairs))
+        .orderBy("doc_id")
+    }),
+
+    // Domain-mixture reweighting (DoReMi/FineWeb-style α = 1/2 temperature
+    // flattening) over the `source` dim: integer-quantized shares and
+    // weights so normalization never float-sums in engine order.
+    "q49_domain_mixture" -> ((s, dir) => {
+      Corpus.domainMixture(t(s, dir, "documents")).orderBy("domain")
     }))
 
   /** q30's oracle: the full IVF pipeline — seeded k-means (4 Lloyd
@@ -1171,7 +1189,66 @@ object SparkEntry {
         |  coalesce(w.ll_micro, 0) AS ll_micro,
         |  round(exp(-w.ll_micro::DOUBLE / 1e6 / w.n_bigrams), 6) AS ppl
         |FROM documents d LEFT JOIN w USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // canonical-doc selection: q33's transitive closure + q23's quality
+    // formula (round(…,6) FIRST, then micro-quantize — mirroring the
+    // Spark side exactly so both engines compare the same integers), then
+    // the per-group argmax as an explicit (q DESC, doc_id) row_number —
+    // arg_max's tie rule is left unspecified, the window's isn't
+    "q48_canonical_docs" -> {
+      val stops = TextOps.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, text, $toksSql AS t FROM documents),
+        |sh AS (SELECT doc_id, $shingleSql AS s FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND round(len(list_intersect(a.s, b.s))::DOUBLE
+        |              / len(list_distinct(a.s || b.s))::DOUBLE, 6) >= 0.5),
+        |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+        |          UNION SELECT b_id, a_id FROM pairs),
+        |reach(id, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.id, e.v FROM reach r JOIN edges e ON e.u = r.lbl),
+        |grp AS (SELECT id AS doc_id, min(lbl) AS group_id FROM reach GROUP BY id),
+        |q AS (SELECT doc_id, CAST(round(1e6 * round(
+        |    0.3 * least(len(t) / 100.0, 1.0) +
+        |    0.4 * (len(list_filter(t, x -> list_contains($stops, x)))
+        |           / greatest(len(t)::DOUBLE, 1.0)) +
+        |    0.3 * (1.0 - least(len(regexp_extract_all(text, '[,.!?;:]'))
+        |                       / greatest(length(text)::DOUBLE, 1.0) * 10.0, 1.0)),
+        |    6)) AS BIGINT) AS q_micro FROM toks),
+        |m AS (SELECT g.doc_id, g.group_id, q.q_micro
+        |      FROM grp g JOIN q USING (doc_id)),
+        |best AS (SELECT group_id, doc_id AS canon_doc_id, n_members FROM (
+        |  SELECT group_id, doc_id,
+        |    count(*) OVER (PARTITION BY group_id) AS n_members,
+        |    row_number() OVER (PARTITION BY group_id
+        |      ORDER BY q_micro DESC, doc_id) AS rk
+        |  FROM m) WHERE rk = 1)
+        |SELECT m.doc_id, m.group_id, m.q_micro, b.canon_doc_id,
+        |  b.n_members::BIGINT AS n_members,
+        |  (m.doc_id = b.canon_doc_id) AS canon
+        |FROM m JOIN best b USING (group_id) ORDER BY m.doc_id""".stripMargin
+    },
+
+    // domain mixture: exact integer token sums per domain, single-division
+    // shares, micro-quantized √share BEFORE the (integer) normalization
+    // sum — no accumulation-order float drift anywhere
+    "q49_domain_mixture" ->
+      s"""WITH toks AS (SELECT doc_id, source, $toksSql AS t FROM documents),
+        |d AS (SELECT source AS domain, count(*)::BIGINT AS n_docs,
+        |      sum(len(t))::BIGINT AS tokens FROM toks GROUP BY source),
+        |tt AS (SELECT *, sum(tokens) OVER () AS total FROM d),
+        |s AS (SELECT domain, n_docs, tokens,
+        |    CAST(round(tokens::DOUBLE / total * 1e6) AS BIGINT) AS share_micro,
+        |    CAST(round(sqrt(tokens::DOUBLE / total) * 1e6) AS BIGINT) AS s_micro
+        |  FROM tt)
+        |SELECT domain, n_docs, tokens, share_micro,
+        |  CAST(round(s_micro * 1e6 / sum(s_micro) OVER ()) AS BIGINT) AS weight_micro
+        |FROM s ORDER BY domain""".stripMargin)
 
   private def q32OracleSql: String = {
     import graft.operators.Multimodal.{defaultBytesPerDoc, headerBytes}

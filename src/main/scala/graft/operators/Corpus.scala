@@ -132,6 +132,43 @@ object Corpus {
   }
 
   /**
+   * Domain-mixture reweighting (the DoReMi / FineWeb "domain balancing"
+   * step): per domain, the corpus token share and a √-smoothed sampling
+   * weight `w_d ∝ √share_d` (α = 1/2 temperature flattening — the common
+   * multilingual/multi-source rebalancing exponent; √ specifically so the
+   * smoothing is a single IEEE operation, bit-identical across engines).
+   * A trainer samples domain d with probability `weight_micro_d / 10⁶`
+   * instead of its raw share — upweighting rare domains, damping dominant
+   * ones.
+   *
+   * Determinism: shares are single divisions of exact integer sums, and
+   * the normalization denominator is an INTEGER sum of micro-quantized
+   * per-domain values (the q44/q47 discipline) — never a float sum whose
+   * value depends on accumulation order.
+   *
+   * Shape at 100 TB: the corpus is touched ONCE — a map-side-combined
+   * groupBy(domain) whose exchange carries one row per (partition,
+   * domain). Everything after runs on the domain DIM (10³-10⁵ rows «
+   * corpus): the two unpartitioned windows (total, denom) are
+   * single-partition passes over that dim only, never over corpus rows.
+   */
+  def domainMixture(docs: DataFrame, domain: String = "source"): DataFrame = {
+    val dim = docs
+      .groupBy(col(domain).as("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col("text")).cast("long")).as("tokens"))
+    val all = Window.partitionBy() // dim-sized (see scaladoc), not corpus-sized
+    val share = col("tokens").cast("double") / sum(col("tokens")).over(all)
+    dim
+      .withColumn("share_micro", round(share * lit(1e6)).cast("long"))
+      .withColumn("s_micro", round(sqrt(share) * lit(1e6)).cast("long"))
+      .withColumn("weight_micro",
+        round(col("s_micro") * lit(1e6) / sum(col("s_micro")).over(all))
+          .cast("long"))
+      .drop("s_micro")
+  }
+
+  /**
    * TF-IDF keyword extraction: per document, the top-`k` tokens by
    * `tf · ln(N/df)` (rounded to 6 decimals for cross-engine determinism,
    * ties broken by token — the same round-then-rank discipline as the

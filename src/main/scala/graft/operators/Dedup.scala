@@ -414,4 +414,42 @@ object Dedup {
         coalesce(col("label"), col("doc_id")).as("group_id"))
       .withColumn("keep", col("doc_id") === col("group_id"))
   }
+
+  /** Canonical-document selection: within each near-dup group keep the
+    * HIGHEST-QUALITY member (ties → min doc_id), not the arbitrary
+    * component-min of [[dedupGroups]] — the end-step of a production
+    * fuzzy-dedup pass (the kept copy should be the best one, e.g.
+    * the least boilerplate-ridden mirror of a page).
+    *
+    * Output: one row per doc — (doc_id, group_id, q_micro, canon_doc_id,
+    * n_members, canon) with `canon` true on exactly one member per group.
+    *
+    * Determinism: quality is micro-quantized (round(q·10⁶) as a long,
+    * HALF_UP on both engines) BEFORE the argmax, so the comparison is
+    * integer — no float-ordering drift between Spark and the oracle.
+    *
+    * Shape at 100 TB: the argmax is `min(struct(-q_micro, doc_id))` —
+    * ONE map-side-combined HashAggregate on group_id (partial max per
+    * input partition, the exchange carries one row per (partition,
+    * group)); the flag join re-attaches a group-sized dim (≤ one row per
+    * group, « corpus) on the same group_id key the agg just produced, so
+    * AQE plans it against already-clustered children. No window, no sort.
+    */
+  def canonicalDocs(docs: DataFrame, groups: DataFrame): DataFrame = {
+    val scored = docs.select(col("doc_id"),
+      round(graft.operators.TextOps.qualityScore(col("text")) * lit(1e6))
+        .cast("long").as("q_micro"))
+    val member = groups.select(col("doc_id"), col("group_id")).join(scored, "doc_id")
+    // min(struct(-q, id)): max quality, ties → min doc_id — and doc_id may
+    // be any ordered type (string ids work), only q_micro gets negated
+    val best = member.groupBy("group_id")
+      .agg(min(struct((-col("q_micro")).as("neg_q"), col("doc_id"))).as("b"),
+        count(lit(1)).as("n_members"))
+      .select(col("group_id"), col("b.doc_id").as("canon_doc_id"),
+        col("n_members"))
+    member.join(best, "group_id")
+      .select(col("doc_id"), col("group_id"), col("q_micro"),
+        col("canon_doc_id"), col("n_members"),
+        (col("doc_id") === col("canon_doc_id")).as("canon"))
+  }
 }

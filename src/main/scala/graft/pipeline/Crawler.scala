@@ -50,10 +50,18 @@ class Crawler(
 
   import spark.implicits._
 
+  // Dictionary encoding is off for EVERY crawl-path write (docs, seen
+  // archive, frontier): the heavy columns (url, spans JSON, links,
+  // doc_id) are near-unique, so parquet's per-page dictionary attempt is
+  // wasted encode CPU that then FALLS BACK anyway (JFR r4: the dictionary
+  // hash probing/rehash + binary compares were the largest attributable
+  // share of the docs-write encoder). The genuinely repetitive columns
+  // (host, error="") still compress away under the file-level zstd.
   private def writerOptions: Map[String, String] =
-    if (cfg.parquetBlockBytes > 0)
-      Map("parquet.block.size" -> cfg.parquetBlockBytes.toString)
-    else Map.empty
+    Map("parquet.enable.dictionary" -> "false") ++
+      (if (cfg.parquetBlockBytes > 0)
+        Map("parquet.block.size" -> cfg.parquetBlockBytes.toString)
+      else Map.empty)
 
   /** Frontier POOL table — the unvisited queue only: bucket-granular
     * snapshots, files stored sorted by (host, fifo-priority) so pop
@@ -74,7 +82,6 @@ class Crawler(
   val frontierTable = new IcebergishTable(s"$workDir/frontier", Frontier.schema,
     sortCols = Seq("host", "depth", "discovered_at", "url"),
     writerOptions = writerOptions ++
-      Map("parquet.enable.dictionary" -> "false") ++
       (if (cfg.frontierCodec.nonEmpty) Map("compression" -> cfg.frontierCodec)
        else Map.empty),
     dropCols = Seq("host", "host_bucket", "last_visit"))

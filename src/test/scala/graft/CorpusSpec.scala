@@ -75,6 +75,28 @@ class CorpusSpec extends AnyFunSuite {
     assert(Corpus.stratifiedSample(tiny, "lang", k = 10).count() == 3)
   }
 
+  test("domainMixture: √-flattened weights from exact integer token shares") {
+    // s1 holds 4 of 16 tokens, s2 the other 12 — shares 1/4 and 3/4;
+    // α=1/2 flattening upweights the rare domain (0.25 → ~0.366)
+    val docs = Seq(
+      (1L, "a b c", "s1"), (2L, "d", "s1"),
+      (3L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12", "s2")
+    ).toDF("doc_id", "text", "source")
+    val got = Corpus.domainMixture(docs).orderBy("domain").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val sMicro = Seq(4.0 / 16, 12.0 / 16).map(s => microHU(math.sqrt(s)))
+    val denom = sMicro.sum // integer normalization — no float-sum order
+    def w(s: Long): Long =
+      BigDecimal(s * 1e6 / denom).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    assert(got.toSeq == Seq(
+      ("s1", 2L, 4L, 250000L, w(sMicro(0))),
+      ("s2", 1L, 12L, 750000L, w(sMicro(1)))))
+    // the flattened weights still sum to ~1e6 and invert the skew ordering
+    assert(math.abs(got.map(_._5).sum - 1000000L) <= 1)
+    assert(got(0)._5 > got(0)._4 && got(1)._5 < got(1)._4)
+  }
+
   test("tfidfTopK ranks by tf·idf and drops everywhere-tokens") {
     val docs = Seq(
       1L -> "common apple apple banana",

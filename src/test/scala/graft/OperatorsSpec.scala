@@ -400,4 +400,33 @@ class OperatorsSpec extends AnyFunSuite {
       assert(rows.count(_._3) == 1)
     }
   }
+
+  test("canonicalDocs keeps the highest-quality group member, ties to min doc_id") {
+    // one 3-doc group where the LAST member has the best quality (longer,
+    // stopword-rich, unpunctuated) — the component-min rule would keep a,
+    // the canonical rule must keep c; d is a singleton and keeps itself
+    val base = "the cat sat on the mat and looked at the dog"
+    val docs = Seq(
+      ("a", s"$base!!!???;;;,,,..."), // punct-penalized copy
+      ("b", s"$base!!!???;;;,,,..."), // exact dup of a
+      ("c", s"$base with a friend"), // near-dup, no punct penalty
+      ("d", "unrelated text entirely different words zebra quark")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.3)
+    val groups = Dedup.dedupGroups(docs, pairs)
+    val got = Dedup.canonicalDocs(docs, groups).collect()
+      .map(r => r.getString(0) ->
+        ((r.getString(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got("a")._1 == "c" && !got("a")._3)
+    assert(got("b") == (("c", 3L, false)))
+    assert(got("c") == (("c", 3L, true)))
+    assert(got("d") == (("d", 1L, true)))
+    // exact-dup TIE inside a group resolves to the min doc_id
+    val tied = Seq("x" -> "same words here", "y" -> "same words here")
+      .toDF("doc_id", "text")
+    val tp = Dedup.ngramJaccardPairs(tied, n = 3, threshold = 0.5)
+    val tg = Dedup.canonicalDocs(tied, Dedup.dedupGroups(tied, tp)).collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(tg == Map("x" -> "x", "y" -> "x"))
+  }
 }
