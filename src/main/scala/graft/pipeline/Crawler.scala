@@ -519,8 +519,16 @@ class Crawler(
     val thinned = {
       import org.apache.spark.sql.Encoders
       implicit val enc = Encoders.tuple(Encoders.STRING, Encoders.scalaInt, Encoders.scalaLong)
+      // pre-sized: a task's map can reach millions of entries (docs-read
+      // splits are few and links multiply pops), and growing a HashMap
+      // from 16 pays ~18 full rehash passes PLUS permanent bin
+      // treeification from the transient ≥0.75 load before each resize
+      // (JFR r4: TreeNode.getTreeNode + resize were most of this lambda).
+      // poppedN/2 ≈ per-task distinct links within a factor of a few;
+      // capped at 2^22 slots (32 MB of refs) per task.
+      val thinCap = math.min(1L << 22, math.max(1L << 10, poppedN / 2)).toInt
       rawNew.as[(String, Int, Long)].mapPartitions { it =>
-        val best = new java.util.HashMap[String, java.lang.Long]()
+        val best = new java.util.HashMap[String, java.lang.Long](thinCap)
         it.foreach { case (u, d, t) =>
           val k = (d.toLong << 47) + t
           val prev = best.get(u)
