@@ -57,8 +57,21 @@ class Crawler(
   // hash probing/rehash + binary compares were the largest attributable
   // share of the docs-write encoder). The genuinely repetitive columns
   // (host, error="") still compress away under the file-level zstd.
+  //
+  // Min/max column statistics are likewise off for the fat/unique binary
+  // columns (span text payloads, link urls, url, doc_id): stats exist to
+  // power predicate pushdown, and no crawl-path read filters on these —
+  // docs prune by the round partition dir, frontier/seen reads are
+  // per-bucket FILE selections — while computing them costs a
+  // lexicographic compare of every multi-KB value against the running
+  // min/max (visible in the JFR write profile). Row counts (manifest) and
+  // stats on the small scheduling columns (depth, discovered_at) stay.
   private def writerOptions: Map[String, String] =
-    Map("parquet.enable.dictionary" -> "false") ++
+    Map("parquet.enable.dictionary" -> "false",
+      "parquet.column.statistics.enabled#spans.list.element.text" -> "false",
+      "parquet.column.statistics.enabled#links.list.element" -> "false",
+      "parquet.column.statistics.enabled#url" -> "false",
+      "parquet.column.statistics.enabled#doc_id" -> "false") ++
       (if (cfg.parquetBlockBytes > 0)
         Map("parquet.block.size" -> cfg.parquetBlockBytes.toString)
       else Map.empty)
