@@ -524,9 +524,13 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsJson(4)},""" +
         s""""sf":"$sfDir","crawl":{$common${gated.detailFields},""" +
         s""""ungated":${ungated.detail},"iso":${isoJson(true)}}}"""
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
-    System.err.println(s"[bench] full detail -> BENCH_DETAIL.json")
+    // A/B probe runs (GRAFT_BENCH_NO_DETAIL set) must not clobber the
+    // shipped campaign's BENCH_DETAIL.json with a partial artifact
+    if (!sys.env.contains("GRAFT_BENCH_NO_DETAIL")) {
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
+      System.err.println(s"[bench] full detail -> BENCH_DETAIL.json")
+    }
     println(s"""{"metric":"total","value":${jd(total, 2)},"unit":"sec","queries":${qsJson(2)},""" +
       s""""sf":"$sfDir","crawl":{$common${gated.compactFields},""" +
       s""""ungated":${ungated.compactSlim},"iso":${isoJson(false)},"detail":"BENCH_DETAIL.json"}}""")

@@ -231,13 +231,13 @@ object SparkEntry {
     }),
 
     // Embedding-cosine near-dup pairs, sign-LSH blocked + exact verify.
-    // Planes are the md5-derived literal matrix (the q29 technique): per-row
-    // hyperplane hashing disappears AND the oracle rebuilds the exact
-    // blocked pipeline in SQL (full hash-verified even where recall < 1).
+    // Planes are md5-derived (the q29 technique), evaluated by the one-pass
+    // sign_buckets_md5 expression — bit-identical to the literal-matrix
+    // column algebra (property-tested), so the oracle still rebuilds the
+    // exact blocked pipeline in SQL (full hash-verified even at recall < 1).
     "q27_embed_neardup" -> ((s, dir) => {
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.8,
-        tables = 12, planesPerTable = 10,
-        planeMatrix = Some(Similarity.md5PlaneMatrix(12 * 10, 64)))
+        tables = 12, planesPerTable = 10, md5Planes = true)
         .orderBy("a_id", "b_id")
     }),
 
@@ -251,16 +251,16 @@ object SparkEntry {
         .orderBy("a_id", "b_id")
     }),
 
-    // Sign-LSH ANN top-k. Recall<1 by design, but the PLANES are an
-    // md5-derived literal matrix (Similarity.md5PlaneMatrix), so the DuckDB
-    // oracle rebuilds the exact same hyperplanes, buckets, candidate set,
-    // and cosine re-rank — a full hash-verified check of the approximate
-    // pipeline itself (recall floor vs brute force still in OperatorsSpec).
+    // Sign-LSH ANN top-k. Recall<1 by design, but the PLANES are
+    // md5-derived (sign_buckets_md5 — bit-identical to the literal-matrix
+    // form, property-tested), so the DuckDB oracle rebuilds the exact same
+    // hyperplanes, buckets, candidate set, and cosine re-rank — a full
+    // hash-verified check of the approximate pipeline itself (recall floor
+    // vs brute force still in OperatorsSpec).
     "q29_ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.annTopK(emb, emb.filter(col("vec_id") < 20), 5,
-        tables = 32, planesPerTable = 5,
-        planeMatrix = Some(Similarity.md5PlaneMatrix(32 * 5, 64)))
+        tables = 32, planesPerTable = 5, md5Planes = true)
         .orderBy("q_id", "rk")
     }),
 

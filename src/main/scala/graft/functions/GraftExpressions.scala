@@ -344,6 +344,101 @@ object GraftExpressions {
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
   /**
+   * `sign_buckets_md5(vec array<float|double>, tables, planesPerTable)` —
+   * all `tables` sign-LSH bucket keys of one embedding in ONE primitive
+   * pass over the md5-derived ±1 plane matrix
+   * ([[graft.operators.Similarity.md5PlaneMatrix]], recomputed here from
+   * (plane, dim) — the matrix is a pure function of the shape, so the
+   * buckets stay exactly the ones the q27/q29 DuckDB oracles rebuild in
+   * SQL). Bit-identical to the column-algebra form
+   * [[graft.operators.Similarity.signBucketsLit]] (property-tested): per
+   * plane `proj = aggregate(zip_with(vec, planeVec, x*w), 0.0, +)` — a
+   * left-to-right double fold in index order, reproduced here as an
+   * ascending `+=` loop — bit `p` of table `t` set iff `proj > 0`.
+   *
+   * The HOF form dispatched tables×planes×dims interpreted lambdas and
+   * allocated a fresh dims-element products array PER PLANE per row
+   * (~120 allocations/row at q27's 12×10 shape) — the same tax profile
+   * `minhash_sig`/`simhash60` removed from q25/q28; it dominated q27/q29.
+   *
+   * Null semantics match the HOF fold: null array → null; a null ELEMENT
+   * poisons every projection at once (null product through the fold),
+   * after which `when(proj > 0, …).otherwise(0)` emits 0 for every bit →
+   * all-zero buckets. Assumes uniform dims across rows (the embeddings
+   * table contract); the per-instance matrix cache rebuilds if dims ever
+   * changes. Interpreted eval only (CodegenFallback): the dims-length
+   * fused multiply-add loop dominates, not the dispatch.
+   */
+  case class SignBucketsMd5(vec: Expression, tables: Int, planesPerTable: Int)
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def child: Expression = vec
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "sign_buckets_md5"
+    private lazy val vecIsFloat =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    // one immutable (dims, flattened planes×dims matrix) pair — a racing
+    // re-init computes the identical array, and a single reference write
+    // is atomic, so no synchronization is needed
+    @transient private var cache: (Int, Array[Double]) = _
+    private def flatMatrix(dims: Int): Array[Double] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val planes = tables * planesPerTable
+      val m = new Array[Double](planes * dims)
+      var p = 0
+      while (p < planes) {
+        var j = 0
+        while (j < dims) {
+          val h = md.digest(s"plane:$p:$j"
+            .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          m(p * dims + j) = if ((h(0) & 1) == 0) 1.0 else -1.0
+          j += 1
+        }
+        p += 1
+      }
+      m
+    }
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val dims = x.numElements()
+      var c = cache
+      if (c == null || c._1 != dims) { c = (dims, flatMatrix(dims)); cache = c }
+      val m = c._2
+      var i = 0
+      while (i < dims) {
+        if (x.isNullAt(i)) // null element ⇒ every proj null ⇒ every bit 0
+          return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            new Array[Long](tables))
+        i += 1
+      }
+      val out = new Array[Long](tables)
+      var t = 0
+      var base = 0
+      while (t < tables) {
+        var bucket = 0L
+        var p = 0
+        while (p < planesPerTable) {
+          var proj = 0.0
+          var j = 0
+          while (j < dims) {
+            val xj = if (vecIsFloat) x.getFloat(j).toDouble else x.getDouble(j)
+            proj += xj * m(base + j)
+            j += 1
+          }
+          if (proj > 0) bucket |= 1L << p
+          p += 1
+          base += dims
+        }
+        out(t) = bucket
+        t += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(vec = c)
+  }
+
+  /**
    * Per-bucket row counts as ONE aggregate value: `bucket_counts(b, n)`
    * yields an `array<long>` of length `n` where slot `i` counts the rows
    * with `b = i` (null and out-of-range inputs are skipped — so
@@ -417,6 +512,11 @@ object GraftExpressions {
       es => CosineSim(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("simhash60",
       es => Simhash60(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("sign_buckets_md5",
+      es => SignBucketsMd5(es(0),
+        es(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Int],
+        es(2).eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Int]),
+      "scala_udf")
     // aggregate: the analyzer wraps a bare AggregateFunction builder in
     // AggregateExpression; arg1 must be a foldable int literal
     reg.createOrReplaceTempFunction("bucket_counts",
@@ -453,6 +553,10 @@ object GraftExpressions {
   def minhash_sig(sh: Column, n: Column): Column = call_function("minhash_sig", sh, n)
   def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
   def simhash60(tokens: Column): Column = call_function("simhash60", tokens)
+  def sign_buckets_md5(vec: Column, tables: Int, planesPerTable: Int): Column =
+    call_function("sign_buckets_md5", vec,
+      org.apache.spark.sql.functions.lit(tables),
+      org.apache.spark.sql.functions.lit(planesPerTable))
   def bucket_counts(b: Column, n: Int): Column =
     call_function("bucket_counts", b, org.apache.spark.sql.functions.lit(n))
   def seen_index_contains(url: Column, root: String, cutoff: Int): Column =

@@ -64,22 +64,34 @@ object Dedup {
     graft.functions.GraftExpressions.register(docs.sparkSession)
     val prep = docs.select(col("doc_id"), shingleArr(col("text"), n).as("sh"))
       .persist()
-    // global shingle frequencies: one map-side-combinable groupBy, O(corpus)
-    val freq = prep.select(explode(col("sh")).as("s"))
-      .groupBy("s").agg(count(lit(1)).as("f"))
-    // per-doc prefix under the (f, s) total order
-    val prefixToks = prep
+    // Blocking-side shuffles carry an 8-byte xxhash64 shingle KEY, not the
+    // shingle text (~25 B at n=3): the frequency aggregate, its re-join,
+    // and the candidate self-join all hash/sort fixed-width longs. Recall
+    // stays COMPLETE and exact: the rank order below tie-breaks on the
+    // true shingle string, so it is total on distinct shingles even under
+    // a 64-bit collision (at web scale a 10^12-shingle vocab DOES collide
+    // ~birthday-often — the order must not depend on injectivity); a
+    // collision elsewhere only merges two frequencies (any deterministic
+    // per-shingle f yields a valid total order) or adds a false candidate
+    // pair (exact verify removes it). Nothing can LOSE a true pair.
+    val toks = prep
       .select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
-      .join(freq, Seq("s"))
+      .withColumn("h", xxhash64(col("s")))
+    // global shingle-key frequencies: one map-side-combinable groupBy
+    val freq = toks.groupBy("h").agg(count(lit(1)).as("f"))
+    // per-doc prefix under the (f, h, s) total order (rarest-first)
+    val prefixToks = toks
+      .join(freq, Seq("h"))
       .withColumn("r", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("f"), col("s"))))
+        Window.partitionBy(col("doc_id")).orderBy(col("f"), col("h"), col("s"))))
       .filter(col("r") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select("doc_id", "sz", "s")
-    // candidates: share ≥1 prefix shingle, sizes within ratio t (ids only —
-    // the ~KB shingle arrays re-attach AFTER pair dedup, in attachAndVerify)
-    val l = prefixToks.select(col("s"), col("doc_id").as("a_id"), col("sz").as("a_sz"))
-    val r = prefixToks.select(col("s"), col("doc_id").as("b_id"), col("sz").as("b_sz"))
-    val candIds = l.join(r, Seq("s"))
+      .select("doc_id", "sz", "h")
+    // candidates: share ≥1 prefix shingle key, sizes within ratio t (ids
+    // only — the ~KB shingle arrays re-attach AFTER pair dedup, in
+    // attachAndVerify)
+    val l = prefixToks.select(col("h"), col("doc_id").as("a_id"), col("sz").as("a_sz"))
+    val r = prefixToks.select(col("h"), col("doc_id").as("b_id"), col("sz").as("b_sz"))
+    val candIds = l.join(r, Seq("h"))
       .filter(col("a_id") < col("b_id") &&
         col("b_sz") >= lit(threshold) * col("a_sz") &&
         col("a_sz") >= lit(threshold) * col("b_sz"))
@@ -265,8 +277,11 @@ object Dedup {
    * in 2-4.
    *
    * The driver loop compares a (count, hash-xor) checksum per iteration —
-   * one tiny aggregate job, never row data — and each iteration's edge
-   * set is `localCheckpoint`ed (eager): persist alone caches EXECUTION
+   * an `observe` metric riding the checkpoint job itself (verified: an
+   * eager localCheckpoint fires observation listeners), so each iteration
+   * is exactly ONE distributed action, never a second pass and never row
+   * data on the driver — and each iteration's edge set is
+   * `localCheckpoint`ed (eager): persist alone caches EXECUTION
    * but the LOGICAL plan still nests ~20× per iteration, so by iteration
    * ~6 Catalyst analysis time explodes exponentially (measured: a 40-node
    * test graph hung the suite). The checkpoint truncates the plan to the
@@ -301,15 +316,21 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
         .union(mins.select(col("u"), col("m").as("v")))
     }
-    def checksum(e: DataFrame): (Long, Long) = {
-      // bit_xor: order-independent over the distinct edge set and immune
-      // to ANSI-mode sum overflow (xxhash64 spans the full long range)
-      val r = e.agg(count(lit(1)),
-        call_function("bit_xor", xxhash64(col("u"), col("v")))).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    // one action per iteration: the (count, hash-xor) convergence checksum
+    // rides the eager checkpoint's own job as an `observe` metric instead
+    // of a second aggregate pass over the checkpointed edges. bit_xor:
+    // order-independent over the distinct edge set and immune to
+    // ANSI-mode sum overflow (xxhash64 spans the full long range).
+    def checkpointed(df: DataFrame): (DataFrame, (Long, Long)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val cp = df.observe(obs, count(lit(1)).as("cnt"),
+        call_function("bit_xor", xxhash64(col("u"), col("v"))).as("xr"))
+        .localCheckpoint(true)
+      val m = obs.get
+      val xr = m("xr") match { case null => 0L; case x => x.asInstanceOf[Long] }
+      (cp, (m("cnt").asInstanceOf[Long], xr))
     }
-    var e = symmetric(p0).localCheckpoint(true)
-    var sig = checksum(e)
+    var (e, sig) = checkpointed(symmetric(p0))
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {
@@ -322,8 +343,7 @@ object Dedup {
       // iteration) added nothing smallStar's own v<u filter didn't
       // immediately discard. Only the OUTER closure is load-bearing: the
       // next largeStar needs full neighborhoods.
-      val next = symmetric(smallStar(largeStar(e))).localCheckpoint(true)
-      val nextSig = checksum(next)
+      val (next, nextSig) = checkpointed(symmetric(smallStar(largeStar(e))))
       if (nextSig == sig) converged = true
       else { e = next; sig = nextSig }
       it += 1

@@ -120,19 +120,23 @@ object Similarity {
    * keys; candidates = bucket equi-join matches in ANY table; exact cosine
    * re-rank keeps top-k. Recall < 1 by construction (that's the trade);
    * measure it against [[bruteForceTopK]] — the spec asserts a floor.
-   * `planeMatrix` (e.g. [[md5PlaneMatrix]]) swaps the xxhash64 planes for
-   * oracle-reproducible literal ones.
+   * `md5Planes = true` swaps the xxhash64 planes for the md5-derived,
+   * oracle-reproducible family, evaluated by the one-pass
+   * `sign_buckets_md5` expression (bit-identical to
+   * [[signBucketsLit]] over [[md5PlaneMatrix]] — property-tested).
    */
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       tables: Int = 8, planesPerTable: Int = 12,
-      planeMatrix: Option[Seq[Seq[Double]]] = None): DataFrame = {
+      md5Planes: Boolean = false): DataFrame = {
     reg(corpus)
     def withBuckets(df: DataFrame, prefix: String): DataFrame =
       df.select(col("vec_id").as(s"${prefix}_id"), col("embedding").as(s"${prefix}_emb"),
-        posexplode(planeMatrix match {
-          case Some(m) => signBucketsLit(col("embedding"), m, planesPerTable)
-          case None => signBuckets(col("embedding"), tables, planesPerTable)
-        }).as(Seq("table_idx", "bucket")))
+        posexplode(
+          if (md5Planes)
+            graft.functions.GraftExpressions
+              .sign_buckets_md5(col("embedding"), tables, planesPerTable)
+          else signBuckets(col("embedding"), tables, planesPerTable))
+          .as(Seq("table_idx", "bucket")))
     val c = withBuckets(corpus, "n")
     val q = withBuckets(queries, "q")
     c.join(q, Seq("table_idx", "bucket"))
@@ -147,20 +151,26 @@ object Similarity {
   }
 
   /** Embedding-cosine near-dup pairs (cos ≥ threshold) — sign-LSH blocked,
-    * exact verify; the embedding flavor of [[Dedup]]. `planeMatrix` (e.g.
-    * [[md5PlaneMatrix]]) swaps the per-row xxhash64 planes for a literal
-    * matrix — same trade as [[annTopK]]'s: the xxhash64 form pays
-    * tables×planes×dims hash evals PER ROW, the literal rides the plan
-    * once (measured 8.1 s → ~2 s at sf0.1) and is oracle-reproducible. */
+    * exact verify; the embedding flavor of [[Dedup]]. `md5Planes = true`
+    * swaps the per-row xxhash64 planes for the md5-derived family — same
+    * trade as [[annTopK]]'s: the xxhash64 form pays tables×planes×dims
+    * hash evals PER ROW (8.1 s → ~2 s at sf0.1 when the literal matrix
+    * replaced it), is oracle-reproducible, and is evaluated by the
+    * one-pass `sign_buckets_md5` expression — bit-identical to the
+    * [[signBucketsLit]] column algebra it replaced (property-tested),
+    * which had dispatched tables×planes×dims interpreted lambdas and
+    * allocated one dims-array per plane per row. */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
       tables: Int = 12, planesPerTable: Int = 10,
-      planeMatrix: Option[Seq[Seq[Double]]] = None): DataFrame = {
+      md5Planes: Boolean = false): DataFrame = {
     reg(corpus)
     val b = corpus.select(col("vec_id"), col("embedding"),
-      posexplode(planeMatrix match {
-        case Some(m) => signBucketsLit(col("embedding"), m, planesPerTable)
-        case None => signBuckets(col("embedding"), tables, planesPerTable)
-      }).as(Seq("table_idx", "bucket")))
+      posexplode(
+        if (md5Planes)
+          graft.functions.GraftExpressions
+            .sign_buckets_md5(col("embedding"), tables, planesPerTable)
+        else signBuckets(col("embedding"), tables, planesPerTable))
+        .as(Seq("table_idx", "bucket")))
     val l = b.select(col("table_idx"), col("bucket"),
       col("vec_id").as("a_id"), col("embedding").as("a_emb"))
     val r = b.select(col("table_idx"), col("bucket"),

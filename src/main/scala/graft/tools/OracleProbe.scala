@@ -20,8 +20,7 @@ object OracleProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     Similarity.cosineNearDupPairs(emb, threshold = thr.toDouble,
-      tables = 12, planesPerTable = 10,
-      planeMatrix = Some(Similarity.md5PlaneMatrix(12 * 10, 64)))
+      tables = 12, planesPerTable = 10, md5Planes = true)
       .orderBy("a_id", "b_id")
       .write.mode("overwrite").parquet(outDir)
     spark.stop()

@@ -82,6 +82,31 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("sign_buckets_md5 expression is bit-identical to the literal-matrix HOF reference") {
+    // LSH bucket keys (and so q27/q29 candidate sets) depend on EXACT
+    // projection signs: the one-pass expression recomputes the md5 plane
+    // matrix internally and must reproduce signBucketsLit's left-to-right
+    // double fold bit for bit — including all-zero vectors (proj 0 → bit
+    // 0, strict >) and sign-boundary values — at both the q27 (12×10) and
+    // q29 (32×5) shapes
+    graft.functions.GraftExpressions.register(spark)
+    val vecs = ((0 until 49).map { i =>
+      (i.toLong, Array.tabulate(64)(j => ((i * 131 + j * 17) % 97 - 48) / 7.0f))
+    } :+ (99L, Array.fill(64)(0.0f))).toDF("vec_id", "embedding")
+    for ((tables, ppt) <- Seq((12, 10), (32, 5))) {
+      val m = Similarity.md5PlaneMatrix(tables * ppt, 64)
+      val both = vecs.select(col("vec_id"),
+        graft.functions.GraftExpressions
+          .sign_buckets_md5(col("embedding"), tables, ppt).as("fast"),
+        Similarity.signBucketsLit(col("embedding"), m, ppt).as("ref"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"bucket mismatch for vec ${r.getLong(0)} at $tables x $ppt")
+      }
+    }
+  }
+
   test("cosine_sim expression is bit-identical to the HOF column-algebra reference") {
     graft.functions.GraftExpressions.register(spark)
     // deterministic pseudo-random float vectors — exact double equality
