@@ -344,6 +344,79 @@ object GraftExpressions {
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
   /**
+   * `md5_window_hashes(tokens array<string>, w)` — the 60-bit md5-derived
+   * hash of every `w`-token window of the document, in ONE primitive pass
+   * (q46's window identity). Bit-identical by construction to the
+   * column-algebra form in [[graft.operators.Dedup.substringDupSpans]]'s
+   * specification — per start `s`:
+   * `conv(substring(md5(concat('sub:', concat_ws(' ', slice(tk,s,w)))),1,15),16,10)`
+   * — i.e. md5 over the UTF-8 bytes of `"sub:" + tokens joined by " "`,
+   * top 60 bits (big-endian first 8 digest bytes >>> 4), md5 kept so the
+   * DuckDB oracle replays the identical windows in SQL (property-tested
+   * against the retained column form). Docs shorter than `w` tokens yield
+   * an EMPTY array (the `when(size >= w, …).otherwise(array())` guard).
+   *
+   * The HOF form dispatched an interpreted lambda per window and built
+   * the window string through four allocating expression nodes (slice →
+   * concat_ws → concat → hex-substring-conv); this pass converts each
+   * token to UTF-8 once per DOC and streams the bytes straight into a
+   * thread-local MessageDigest per window. Null-token semantics match
+   * `concat_ws`: null elements are skipped, joining the remaining tokens
+   * (the upstream tokenizer never emits null, but parity is kept).
+   * Interpreted eval only (CodegenFallback): the md5 dominates.
+   */
+  case class Md5WindowHashes(tokens: Expression, w: Int)
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    require(w >= 1, "window must be >= 1 token")
+    override def child: Expression = tokens
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "md5_window_hashes"
+    private val subPrefix = "sub:".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    override def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = arr.numElements()
+      if (n < w)
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array.empty[Long])
+      val toks = new Array[Array[Byte]](n)
+      var i = 0
+      while (i < n) {
+        toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).getBytes
+        i += 1
+      }
+      val md = GraftExpressions.md5Local.get()
+      val out = new Array[Long](n - w + 1)
+      var s = 0
+      while (s <= n - w) {
+        md.reset()
+        md.update(subPrefix)
+        var first = true
+        var k = 0
+        while (k < w) {
+          val t = toks(s + k)
+          if (t != null) { // concat_ws skips null elements
+            if (!first) md.update(' '.toByte)
+            md.update(t)
+            first = false
+          }
+          k += 1
+        }
+        val d = md.digest()
+        var l = 0L
+        var b = 0
+        while (b < 8) { l = (l << 8) | (d(b) & 0xffL); b += 1 }
+        out(s) = l >>> 4 // first 15 hex chars = conv(substring(md5,1,15),16,10)
+        s += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(tokens = c)
+  }
+
+  /**
    * `sign_buckets_md5(vec array<float|double>, tables, planesPerTable)` —
    * all `tables` sign-LSH bucket keys of one embedding in ONE primitive
    * pass over the md5-derived ±1 plane matrix
@@ -512,6 +585,10 @@ object GraftExpressions {
       es => CosineSim(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("simhash60",
       es => Simhash60(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("md5_window_hashes",
+      es => Md5WindowHashes(es(0),
+        es(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Int]),
+      "scala_udf")
     reg.createOrReplaceTempFunction("sign_buckets_md5",
       es => SignBucketsMd5(es(0),
         es(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Int],
@@ -553,6 +630,9 @@ object GraftExpressions {
   def minhash_sig(sh: Column, n: Column): Column = call_function("minhash_sig", sh, n)
   def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
   def simhash60(tokens: Column): Column = call_function("simhash60", tokens)
+  def md5_window_hashes(tokens: Column, w: Int): Column =
+    call_function("md5_window_hashes", tokens,
+      org.apache.spark.sql.functions.lit(w))
   def sign_buckets_md5(vec: Column, tables: Int, planesPerTable: Int): Column =
     call_function("sign_buckets_md5", vec,
       org.apache.spark.sql.functions.lit(tables),

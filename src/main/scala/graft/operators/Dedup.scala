@@ -366,7 +366,9 @@ object Dedup {
    * Window identity is the md5 of the window text (60-bit prefix — the
    * q28/q31/q44 engine-portable-hash discipline; a 60-bit collision
    * falsely flagging a window is ~n²/2⁶¹ and the oracle replays the SAME
-   * hash, so the gate is exact either way).
+   * hash, so the gate is exact either way), computed by the one-pass
+   * `md5_window_hashes` expression — bit-identical to the retained
+   * [[windowHashesSpec]] column form (property-tested).
    *
    * Scale shape: ONE shuffle on the 60-bit window hash carrying slim
    * `(wh, doc_id, start)` rows finds cross-doc hashes
@@ -377,18 +379,28 @@ object Dedup {
    * start set — no window functions, nothing global. Boilerplate windows
    * (the skew hot spot) fan IN to one group each, never out.
    */
+  /** The column-algebra window-hash form the `md5_window_hashes`
+    * expression replaced — kept ONLY as the bit-identity reference for
+    * OperatorsSpec's property test (see [[minhashSignatureHof]] for the
+    * discipline), never on the hot path: it dispatched an interpreted
+    * lambda per window and re-built the window string through four
+    * allocating nodes per window. */
+  def windowHashesSpec(tokens: Column, w: Int): Column =
+    element_at(transform(array(tokens), tk =>
+      // guard BEFORE sequence(): with stop < start Spark infers a
+      // DESCENDING step, it does not return empty
+      when(size(tk) >= w,
+        transform(sequence(lit(1), size(tk) - (w - 1)), s =>
+          conv(substring(md5(concat(lit("sub:"),
+            concat_ws(" ", slice(tk, s, lit(w))))), 1, 15), 16, 10)
+            .cast("long")))
+        .otherwise(expr("array()").cast("array<long>"))), 1)
+
   def substringDupSpans(docs: DataFrame, w: Int): DataFrame = {
-    val t = TextOps.tokens(col("text"))
+    graft.functions.GraftExpressions.register(docs.sparkSession)
     val wins = docs
-      .select(col("doc_id"), element_at(transform(array(t), tk =>
-        // guard BEFORE sequence(): with stop < start Spark infers a
-        // DESCENDING step, it does not return empty
-        when(size(tk) >= w,
-          transform(sequence(lit(1), size(tk) - (w - 1)), s =>
-            conv(substring(md5(concat(lit("sub:"),
-              concat_ws(" ", slice(tk, s, lit(w))))), 1, 15), 16, 10)
-              .cast("long")))
-          .otherwise(expr("array()").cast("array<long>"))), 1).as("whs"))
+      .select(col("doc_id"), graft.functions.GraftExpressions
+        .md5_window_hashes(TextOps.tokens(col("text")), w).as("whs"))
       .filter(size(col("whs")) > 0)
       .select(col("doc_id"), posexplode(col("whs")).as(Seq("s0", "wh")))
       .select(col("doc_id"), (col("s0") + 1).as("s"), col("wh"))

@@ -82,6 +82,30 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("md5_window_hashes expression is bit-identical to the column-algebra reference") {
+    // q46's window identities (and so its dup-hash groups) depend on the
+    // EXACT md5 bytes: the one-pass expression must reproduce the
+    // conv(substring(md5(concat('sub:', concat_ws(' ', slice(tk,s,w)))),1,15),16,10)
+    // composition — including unicode tokens, docs shorter than w (empty
+    // array), exactly-w docs (one window), and heavy repetition
+    graft.functions.GraftExpressions.register(spark)
+    val docs = corpus().unionByName(Seq(
+      100L -> "", 101L -> "ünïcode tökens über all und darüber hinaus mehr",
+      102L -> "a b a b a b a b a b", 103L -> "one two three four five six seven eight",
+      104L -> "short doc").toDF("doc_id", "text"))
+    for (w <- Seq(3, 8)) {
+      val both = docs.select(col("doc_id"),
+        graft.functions.GraftExpressions
+          .md5_window_hashes(graft.operators.TextOps.tokens(col("text")), w).as("fast"),
+        Dedup.windowHashesSpec(graft.operators.TextOps.tokens(col("text")), w).as("ref"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"window-hash mismatch for doc ${r.getLong(0)} at w=$w")
+      }
+    }
+  }
+
   test("sign_buckets_md5 expression is bit-identical to the literal-matrix HOF reference") {
     // LSH bucket keys (and so q27/q29 candidate sets) depend on EXACT
     // projection signs: the one-pass expression recomputes the md5 plane
