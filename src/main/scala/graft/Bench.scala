@@ -55,6 +55,12 @@ object Bench {
       // CPU-bound already, and zstd there bought little and cost much.
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.hadoop.parquet.compression.codec.zstd.level", "2")
+      // A/B knobs for the parquet write path (defaults = parquet-hadoop
+      // defaults; see BENCH.md for the measured outcomes)
+      .config("spark.hadoop.parquet.page.size",
+        sys.env.getOrElse("GRAFT_PARQUET_PAGE_SIZE", (1024 * 1024).toString))
+      .config("spark.hadoop.parquet.page.write-checksum.enabled",
+        sys.env.getOrElse("GRAFT_PARQUET_CRC", "true"))
     val b =
       if (shuffleZstd)
         b0.config("spark.io.compression.codec", "zstd")

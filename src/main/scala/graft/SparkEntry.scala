@@ -892,11 +892,11 @@ object SparkEntry {
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
         |sh AS (SELECT doc_id,
         |  CASE WHEN len(t) >= 2
-        |       THEN [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]
-        |       ELSE [array_to_string(t, ' ')] END AS g2,
+        |       THEN [('0x' || substr(md5('sub:' || array_to_string(t[i:i+1], ' ')), 1, 15))::BIGINT for i in range(1, len(t))]
+        |       ELSE [('0x' || substr(md5('sub:' || array_to_string(t, ' ')), 1, 15))::BIGINT] END AS g2,
         |  CASE WHEN len(t) >= 5
-        |       THEN [array_to_string(t[i:i+4], ' ') for i in range(1, len(t)-3)]
-        |       ELSE [array_to_string(t, ' ')] END AS g5
+        |       THEN [('0x' || substr(md5('sub:' || array_to_string(t[i:i+4], ' ')), 1, 15))::BIGINT for i in range(1, len(t)-3)]
+        |       ELSE [('0x' || substr(md5('sub:' || array_to_string(t, ' ')), 1, 15))::BIGINT] END AS g5
         |FROM toks),
         |g AS (
         |  SELECT doc_id, 2 AS n, unnest(g2) AS gram FROM sh
@@ -920,9 +920,9 @@ object SparkEntry {
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
         |sh AS (SELECT doc_id,
         |  CASE WHEN len(t) >= 8
-        |       THEN list_distinct([array_to_string(t[i:i+7], ' ')
+        |       THEN list_distinct([('0x' || substr(md5('sub:' || array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT
         |                           for i in range(1, len(t)-6)])
-        |       ELSE [array_to_string(t, ' ')] END AS s
+        |       ELSE [('0x' || substr(md5('sub:' || array_to_string(t, ' ')), 1, 15))::BIGINT] END AS s
         |FROM toks),
         |g AS (SELECT doc_id, unnest(s) AS gram FROM sh),
         |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 7)

@@ -54,12 +54,27 @@ object Corpus {
    * reductions that reuse the same (doc_id ⊂ key) clustering. No window,
    * no per-row quadratic array scans (an `array_max(transform(distinct…))`
    * form would be O(tokens²) per row — wrong for 10k-token docs).
+   *
+   * Gram identity is the 60-bit md5 window hash (`md5_window_hashes` —
+   * the q46 discipline): the counts only need IDENTITY, so the tagged
+   * explode and its shuffle carry an 8-byte long instead of the gram
+   * text, and the one-pass expression replaces the per-gram
+   * slice→concat_ws string building. Short docs (len < n) count ONE
+   * whole-doc gram, exactly [[TextOps.shingles]]'s short-doc branch. A
+   * 60-bit collision inside one doc would merge two gram counts
+   * (~L²/2⁶¹ per doc) — the oracle replays the SAME hash, so the
+   * correctness gate is exact either way.
    */
   def repetitionStats(docs: DataFrame, maxFrac: Double = 0.2): DataFrame = {
+    graft.functions.GraftExpressions.register(docs.sparkSession)
     val toks = TextOps.tokens(col("text"))
+    val gramKeys = (n: Int) =>
+      when(size(toks) >= n,
+        graft.functions.GraftExpressions.md5_window_hashes(toks, n))
+        .otherwise(array(conv(substring(md5(concat(lit("sub:"),
+          concat_ws(" ", toks))), 1, 15), 16, 10).cast("long")))
     val tagged = (n: Int) =>
-      transform(TextOps.shingles(toks, n),
-        g => struct(lit(n).as("n"), g.as("gram")))
+      transform(gramKeys(n), g => struct(lit(n).as("n"), g.as("gram")))
     val grams = docs
       .select(col("doc_id"),
         explode(concat(tagged(2), tagged(5))).as("g"))
@@ -94,11 +109,30 @@ object Corpus {
    * probes each doc's gram once. If the eval side ever outgrows
    * broadcast, drop the hint and Catalyst falls back to a shuffled
    * semi-join keyed on the gram.
+   *
+   * Gram identity is the 60-bit md5 window hash (`md5_window_hashes` —
+   * the q46/q34 discipline): a 13-gram is ~80 text bytes vs an 8-byte
+   * long, so hashing shrinks the broadcast dim ~10× (the binding
+   * constraint of this operator at scale) and the train side's per-doc
+   * distinct+probe works on primitive longs. Short docs (len < n) count
+   * ONE whole-doc gram ([[TextOps.shingles]] short-doc branch). A
+   * cross-side 60-bit collision adds a false overlap with probability
+   * ~|eval grams|·|doc grams|/2⁶⁰ per doc — conservative in the right
+   * direction for decontamination (flags, never misses), and the oracle
+   * replays the SAME hash so the gate is exact.
    */
   def decontaminate(train: DataFrame, eval: DataFrame, n: Int): DataFrame = {
-    def grams(df: DataFrame): DataFrame = df.select(col("doc_id"),
-      explode(array_distinct(TextOps.shingles(TextOps.tokens(col("text")), n)))
-        .as("gram"))
+    graft.functions.GraftExpressions.register(train.sparkSession)
+    def grams(df: DataFrame): DataFrame = {
+      val toks = TextOps.tokens(col("text"))
+      df.select(col("doc_id"),
+        explode(array_distinct(
+          when(size(toks) >= n,
+            graft.functions.GraftExpressions.md5_window_hashes(toks, n))
+            .otherwise(array(conv(substring(md5(concat(lit("sub:"),
+              concat_ws(" ", toks))), 1, 15), 16, 10).cast("long")))))
+          .as("gram"))
+    }
     val evalGrams = grams(eval).select("gram").distinct()
     grams(train)
       .join(broadcast(evalGrams), Seq("gram"))
