@@ -417,6 +417,82 @@ object GraftExpressions {
   }
 
   /**
+   * `shingles_sorted(tokens array<string>, n)` — the SORTED, DISTINCT
+   * n-gram shingle array of a token list in ONE primitive pass: every
+   * window's text is assembled once into a byte buffer (tokens joined by
+   * `' '`), interned into a `TreeSet[UTF8String]` (binary order — the
+   * UTF8_BINARY collation `array_sort` uses), and emitted ascending.
+   * Bit-identical to the column-algebra form
+   * `array_sort(array_distinct(transform(sequence(1, len-n+1),
+   *    i => concat_ws(' ', slice(t, i, n)))))`
+   * with [[graft.operators.TextOps.shingles]]'s short-doc branch (len < n
+   * ⇒ ONE whole-doc gram) — kept as
+   * [[graft.operators.Dedup.shingleArrSpec]], the property-tested
+   * reference. The HOF form dispatched an interpreted lambda per window,
+   * allocated a slice array + concat_ws per window, then paid
+   * array_distinct's hash set AND array_sort's copy on top. Null-token
+   * parity with concat_ws (skip) is kept, though the upstream tokenizer
+   * never emits null. Interpreted eval only (CodegenFallback): the byte
+   * assembly + tree insert dominate, not the dispatch.
+   */
+  case class ShinglesSorted(tokens: Expression, n: Int)
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    require(n >= 1, "shingle width must be >= 1 token")
+    override def child: Expression = tokens
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "shingles_sorted"
+    override def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val len = arr.numElements()
+      val toks = new Array[Array[Byte]](len)
+      var i = 0
+      while (i < len) {
+        toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).getBytes
+        i += 1
+      }
+      def windowString(from: Int, width: Int): UTF8String = {
+        var total = 0
+        var cnt = 0
+        var k = 0
+        while (k < width) {
+          val t = toks(from + k)
+          if (t != null) { total += t.length; cnt += 1 }
+          k += 1
+        }
+        if (cnt > 1) total += cnt - 1 // separators
+        val buf = new Array[Byte](total)
+        var off = 0
+        var first = true
+        k = 0
+        while (k < width) {
+          val t = toks(from + k)
+          if (t != null) { // concat_ws skips null elements
+            if (!first) { buf(off) = ' '.toByte; off += 1 }
+            System.arraycopy(t, 0, buf, off, t.length)
+            off += t.length
+            first = false
+          }
+          k += 1
+        }
+        UTF8String.fromBytes(buf)
+      }
+      val set = new java.util.TreeSet[UTF8String]()
+      if (len >= n) {
+        var s = 0
+        while (s + n <= len) { set.add(windowString(s, n)); s += 1 }
+      } else {
+        set.add(windowString(0, len)) // whole-doc gram (short-doc branch)
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        set.toArray.asInstanceOf[Array[AnyRef]])
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(tokens = c)
+  }
+
+  /**
    * `sign_buckets_md5(vec array<float|double>, tables, planesPerTable)` —
    * all `tables` sign-LSH bucket keys of one embedding in ONE primitive
    * pass over the md5-derived ±1 plane matrix
@@ -585,6 +661,10 @@ object GraftExpressions {
       es => CosineSim(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("simhash60",
       es => Simhash60(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("shingles_sorted",
+      es => ShinglesSorted(es(0),
+        es(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Int]),
+      "scala_udf")
     reg.createOrReplaceTempFunction("md5_window_hashes",
       es => Md5WindowHashes(es(0),
         es(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Int]),
@@ -630,6 +710,9 @@ object GraftExpressions {
   def minhash_sig(sh: Column, n: Column): Column = call_function("minhash_sig", sh, n)
   def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
   def simhash60(tokens: Column): Column = call_function("simhash60", tokens)
+  def shingles_sorted(tokens: Column, n: Int): Column =
+    call_function("shingles_sorted", tokens,
+      org.apache.spark.sql.functions.lit(n))
   def md5_window_hashes(tokens: Column, w: Int): Column =
     call_function("md5_window_hashes", tokens,
       org.apache.spark.sql.functions.lit(w))

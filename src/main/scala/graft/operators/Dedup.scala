@@ -32,8 +32,20 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dupes"))
 
   /** Distinct SORTED token n-gram shingle array of a text column (sorted
-    * so the pairwise Jaccard below is a zero-alloc two-pointer merge). */
+    * so the pairwise Jaccard below is a zero-alloc two-pointer merge) —
+    * one-pass `shingles_sorted` expression; callers must have run
+    * [[graft.functions.GraftExpressions.register]] (all in-object callers
+    * do). */
   def shingleArr(textCol: Column, n: Int): Column =
+    graft.functions.GraftExpressions
+      .shingles_sorted(TextOps.tokens(textCol), n)
+
+  /** The column-algebra form `shingles_sorted` replaced — kept ONLY as
+    * the bit-identity reference for OperatorsSpec's property test (the
+    * [[minhashSignatureHof]] discipline), never on the hot path: it
+    * dispatched an interpreted lambda + slice + concat_ws per window,
+    * then array_distinct's hash set and array_sort's copy on top. */
+  def shingleArrSpec(textCol: Column, n: Int): Column =
     array_sort(array_distinct(TextOps.shingles(TextOps.tokens(textCol), n)))
 
   /** Exact Jaccard over two sorted-distinct arrays — custom merge

@@ -82,6 +82,29 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("shingles_sorted expression is bit-identical to the column-algebra reference") {
+    // every downstream blocking/verify structure (prefix filter, MinHash
+    // signature, exact Jaccard) consumes this array: the one-pass
+    // TreeSet form must reproduce array_sort(array_distinct(transform))
+    // exactly — order (UTF8 binary), dedup, the short-doc whole-gram
+    // branch, empty text, unicode, and heavy repetition
+    graft.functions.GraftExpressions.register(spark)
+    val docs = corpus().unionByName(Seq(
+      100L -> "", 101L -> "ünïcode tökens über all und darüber",
+      102L -> "a b a b a b a b", 103L -> "zz yy xx ww vv",
+      104L -> "two toks", 105L -> "exactly three tokens").toDF("doc_id", "text"))
+    for (n <- Seq(2, 3, 5)) {
+      val both = docs.select(col("doc_id"),
+        Dedup.shingleArr(col("text"), n).as("fast"),
+        Dedup.shingleArrSpec(col("text"), n).as("ref"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"shingle mismatch for doc ${r.getLong(0)} at n=$n")
+      }
+    }
+  }
+
   test("md5_window_hashes expression is bit-identical to the column-algebra reference") {
     // q46's window identities (and so its dup-hash groups) depend on the
     // EXACT md5 bytes: the one-pass expression must reproduce the
