@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftExpressions
-import graft.operators.{Clean, Corpus, Dedup, Similarity, TextOps}
+import graft.operators.{Clean, Corpus, Dedup, Graphs, Similarity, Sketches, TextOps}
 
 /**
  * Driver contract (SURVEY.md §7.0): `entry` is the flagship query;
@@ -478,6 +478,24 @@ object SparkEntry {
     // weights so normalization never float-sums in engine order.
     "q49_domain_mixture" -> ((s, dir) => {
       Corpus.domainMixture(t(s, dir, "documents")).orderBy("domain")
+    }),
+
+    // Integer PageRank over the deterministic md5 link graph — the
+    // frontier-prioritization signal (rank + in-degree per page) in
+    // micro-units, every iteration replayed by the oracle as an
+    // unrolled CTE layer (no float ever accumulates in engine order).
+    "q50_pagerank" -> ((s, dir) => {
+      Graphs.pageRank(t(s, dir, "documents"), iters = 3, fanout = 4)
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic HyperLogLog distinct-user sketch per event class:
+    // md5-derived registers, exact integer harmonic sum, one final
+    // correctly-rounded division — the sketch ITSELF is hash-verified,
+    // not just close-to-exact (plus the exact count and err_ppm).
+    "q51_hll_distinct" -> ((s, dir) => {
+      Sketches.hllDistinct(t(s, dir, "events"), col("user_id"),
+        Seq("event_type")).orderBy("event_type")
     }))
 
   /** q30's oracle: the full IVF pipeline — seeded k-means (4 Lloyd
@@ -1248,7 +1266,63 @@ object SparkEntry {
         |  FROM tt)
         |SELECT domain, n_docs, tokens, share_micro,
         |  CAST(round(s_micro * 1e6 / sum(s_micro) OVER ()) AS BIGINT) AS weight_micro
-        |FROM s ORDER BY domain""".stripMargin)
+        |FROM s ORDER BY domain""".stripMargin,
+
+    // integer PageRank: the identical md5 edge list, then every iteration
+    // unrolled as a CTE layer — contributions are integer `pr // 4`, the
+    // damping step is `150000 + (85·s) // 100`; bit-exact, no float
+    "q50_pagerank" -> {
+      val iterCtes = (1 to 3).map { i =>
+        s"""s$i AS (SELECT e.dst AS id, sum(r.pr // 4) AS s
+           |  FROM e JOIN r${i - 1} r ON e.src = r.id GROUP BY e.dst),
+           |r$i AS (SELECT d.doc_id AS id,
+           |    (150000 + ((coalesce(s.s, 0) * 85) // 100))::BIGINT AS pr
+           |  FROM documents d LEFT JOIN s$i s ON d.doc_id = s.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+        |  SELECT d.doc_id AS src,
+        |    ('0x' || substr(md5('pr:' || d.doc_id::VARCHAR || ':' || j::VARCHAR),
+        |                    1, 15))::BIGINT
+        |      % (SELECT count(*) FROM documents) AS dst
+        |  FROM documents d, range(0, 4) r(j)),
+        |r0 AS (SELECT doc_id AS id, 1000000::BIGINT AS pr FROM documents),
+        |$iterCtes,
+        |ind AS (SELECT dst AS id, count(*)::BIGINT AS indeg FROM e GROUP BY dst)
+        |SELECT r3.id AS doc_id, r3.pr AS pr_micro,
+        |  coalesce(ind.indeg, 0)::BIGINT AS indeg
+        |FROM r3 LEFT JOIN ind ON r3.id = ind.id
+        |ORDER BY doc_id""".stripMargin
+    },
+
+    // deterministic HLL: identical 40-bit md5 registers, exact integer
+    // harmonic sum (Σ2^(31-ρ), empty registers at 2^31), and ONE
+    // correctly-rounded division for the estimate — every factor of the
+    // numerator 720541·2^51 is an exact double on both engines
+    "q51_hll_distinct" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    ('0x' || substr(md5('hll:' || user_id::VARCHAR), 1, 10))::BIGINT AS h40
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, h40 // 1073741824 AS register,
+        |    CASE WHEN (h40 % 1073741824) = 0 THEN 31
+        |         ELSE 31 - length(bin(h40 % 1073741824)) END AS rho
+        |  FROM h),
+        |mx AS (SELECT event_type, register, max(rho) AS rho FROM r GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT event_type, count(*)::BIGINT AS nonzero_registers,
+        |    (sum(1::BIGINT << (31 - rho))
+        |      + (1024 - count(*)) * 2147483648)::BIGINT AS sum_inv
+        |  FROM mx GROUP BY event_type),
+        |ex AS (SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_distinct
+        |       FROM events GROUP BY event_type)
+        |SELECT a.event_type, 1024 AS m, a.nonzero_registers, a.sum_inv,
+        |  round(720541.0 * 1048576 * 2147483648 / a.sum_inv)::BIGINT AS est_micro,
+        |  ex.exact_distinct,
+        |  (abs(round(720541.0 * 1048576 * 2147483648 / a.sum_inv)::BIGINT
+        |       - ex.exact_distinct * 1000000) // ex.exact_distinct)::BIGINT AS err_ppm
+        |FROM agg a JOIN ex USING (event_type)
+        |ORDER BY event_type""".stripMargin)
 
   private def q32OracleSql: String = {
     import graft.operators.Multimodal.{defaultBytesPerDoc, headerBytes}

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Graphs, Sketches}
+
+/** Invariant + bit-identity tests for the link-graph PageRank (q50) and
+  * the deterministic HyperLogLog sketch (q51). Both operators are
+  * DuckDB-hash-verified end to end in CORRECTNESS; these specs pin the
+  * engine-side semantics on hand-checkable inputs, including a full
+  * driver-side replay of the integer recurrences from the same md5
+  * stream.
+  */
+class GraphSketchSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def docs(n: Int): DataFrame =
+    (0 until n).map(_.toLong).toDF("doc_id")
+
+  test("linkGraph: every node emits exactly fanout edges, targets match the md5 draw") {
+    val n = 16
+    val edges = Graphs.linkGraph(docs(n), n, fanout = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.length == n * 4)
+    assert(edges.groupBy(_._1).forall(_._2.length == 4))
+    // driver-side replay of the 60-bit md5 draw
+    for ((src, grp) <- edges.groupBy(_._1)) {
+      val want = (0 until 4).map { j =>
+        java.lang.Long.parseLong(md5hex(s"pr:$src:$j").take(15), 16) % n
+      }
+      // edge order within a src is not guaranteed; compare as multisets
+      assert(grp.map(_._2).sorted.toSeq == want.sorted)
+    }
+  }
+
+  test("pageRank: bit-identical to a driver-side integer replay; teleport floor holds") {
+    val n = 24
+    val got = Graphs.pageRank(docs(n), iters = 3, fanout = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // replay: same edges, same integer recurrence
+    val edges = for (src <- 0L until n; j <- 0 until 4) yield
+      src -> (java.lang.Long.parseLong(md5hex(s"pr:$src:$j").take(15), 16) % n)
+    var pr = Array.fill(n)(1000000L)
+    for (_ <- 1 to 3) {
+      val s = Array.fill(n)(0L)
+      for ((src, dst) <- edges) s(dst.toInt) += pr(src.toInt) / 4
+      pr = Array.tabulate(n)(v => 150000L + (s(v) * 85) / 100)
+    }
+    val indeg = edges.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    for (v <- 0 until n) {
+      assert(got(v.toLong)._1 == pr(v), s"rank mismatch at node $v")
+      assert(got(v.toLong)._2 == indeg.getOrElse(v.toLong, 0L))
+      assert(got(v.toLong)._1 >= 150000L) // teleport floor
+    }
+    assert(got.values.map(_._2).sum == n * 4L) // in-degrees account for all edges
+  }
+
+  test("pageRank is deterministic across runs and partitionings") {
+    val a = Graphs.pageRank(docs(32), iters = 2).orderBy("doc_id").collect()
+    val b = Graphs.pageRank(docs(32).repartition(7), iters = 2)
+      .orderBy("doc_id").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("hllDistinct: registers/rho bit-identical to a driver-side replay; estimate within 3σ") {
+    val n = 5000
+    val df = (0 until n).map(i => ("g", s"u$i")).toDF("grp", "key")
+    val row = Sketches.hllDistinct(df, col("key"), Seq("grp")).collect()(0)
+    val (m, nz, sumInv, est, exact, errPpm) =
+      (row.getInt(1), row.getLong(2), row.getLong(3), row.getLong(4),
+        row.getLong(5), row.getLong(6))
+    assert(m == 1024 && exact == n)
+    // replay the 40-bit hash → register/rho stream on the driver
+    val regs = scala.collection.mutable.Map[Long, Int]()
+    for (i <- 0 until n) {
+      val h = java.lang.Long.parseLong(md5hex(s"hll:u$i").take(10), 16)
+      val reg = h >>> 30
+      val low = h & ((1L << 30) - 1)
+      val rho = if (low == 0L) 31 else 31 - (64 - java.lang.Long.numberOfLeadingZeros(low))
+      regs(reg) = math.max(regs.getOrElse(reg, 0), rho)
+    }
+    val wantSumInv = regs.values.map(r => 1L << (31 - r)).sum +
+      (1024L - regs.size) * (1L << 31)
+    assert(nz == regs.size && sumInv == wantSumInv)
+    assert(est == math.round(720541.0 * 1048576.0 * 2147483648.0 / sumInv.toDouble))
+    // HLL std error for m=1024 is 1.04/32 ≈ 3.25%; 3σ ≈ 9.8% ⇒ 98k ppm
+    assert(errPpm < 100000L, s"err_ppm $errPpm out of 3σ band")
+  }
+
+  test("hllDistinct: per-group isolation and withExact=false column shape") {
+    val df = ((0 until 100).map(i => ("a", s"k$i")) ++
+      (0 until 7).map(i => ("b", s"k$i"))).toDF("grp", "key")
+    val rows = Sketches.hllDistinct(df, col("key"), Seq("grp"))
+      .orderBy("grp").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(rows(0).getLong(5) == 100L && rows(1).getLong(5) == 7L)
+    // tiny cardinalities: every distinct key should populate its own
+    // register with overwhelming probability at m=1024
+    assert(rows(1).getLong(2) <= 7L)
+    val slim = Sketches.hllDistinct(df, col("key"), Seq("grp"), withExact = false)
+    assert(slim.columns.toSeq ==
+      Seq("grp", "m", "nonzero_registers", "sum_inv", "est_micro"))
+  }
+}
