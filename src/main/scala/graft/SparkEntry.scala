@@ -496,6 +496,25 @@ object SparkEntry {
     "q51_hll_distinct" -> ((s, dir) => {
       Sketches.hllDistinct(t(s, dir, "events"), col("user_id"),
         Seq("event_type")).orderBy("event_type")
+    }),
+
+    // Count-Min Sketch heavy hitters: md5-derived d×w counter grid (the
+    // grid build's shuffle is capped at d·w rows per mapper), estimate =
+    // min over the d cells — the sketch AND its one-sided error
+    // (overcount ≥ 0) are hash-verified; exact counts ground the check.
+    "q52_cms_heavy_hitters" -> ((s, dir) => {
+      Sketches.countMinHeavyHitters(t(s, dir, "documents"))
+    }),
+
+    // int8 symmetric scalar quantization (FAISS SQ8-style) + integer
+    // inner-product top-k: per-dim amax is one dim-bounded broadcast
+    // array, codes are a narrow projection, and the entire ranking is
+    // integer arithmetic — bit-exact cross-engine, no float anywhere
+    // after the two-IEEE-op quantize step.
+    "q53_quantized_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 20), 5)
+        .orderBy("q_id", "rk")
     }))
 
   /** q30's oracle: the full IVF pipeline — seeded k-means (4 Lloyd
@@ -1322,7 +1341,58 @@ object SparkEntry {
         |  (abs(round(720541.0 * 1048576 * 2147483648 / a.sum_inv)::BIGINT
         |       - ex.exact_distinct * 1000000) // ex.exact_distinct)::BIGINT AS err_ppm
         |FROM agg a JOIN ex USING (event_type)
-        |ORDER BY event_type""".stripMargin)
+        |ORDER BY event_type""".stripMargin,
+
+    // Count-Min Sketch: identical md5 row-hashes rebuild the d=4 × w=1024
+    // counter grid; estimate = min over the token's 4 cells; the exact
+    // top-20 (count desc, token) grounds the one-sided error
+    "q52_cms_heavy_hitters" ->
+      s"""WITH toks AS (SELECT unnest($toksSql) AS token FROM documents),
+        |cells AS (
+        |  SELECT t.r,
+        |    ('0x' || substr(md5('cms:' || t.r::VARCHAR || ':' || token),
+        |                    1, 15))::BIGINT % 1024 AS c,
+        |    count(*)::BIGINT AS cnt
+        |  FROM toks, range(0, 4) t(r) GROUP BY 1, 2),
+        |top AS (SELECT token, count(*)::BIGINT AS exact_cnt FROM toks
+        |        GROUP BY token ORDER BY exact_cnt DESC, token LIMIT 20),
+        |probes AS (
+        |  SELECT token, exact_cnt, t.r,
+        |    ('0x' || substr(md5('cms:' || t.r::VARCHAR || ':' || token),
+        |                    1, 15))::BIGINT % 1024 AS c
+        |  FROM top, range(0, 4) t(r))
+        |SELECT p.token, p.exact_cnt, min(g.cnt)::BIGINT AS cms_est,
+        |  (min(g.cnt) - p.exact_cnt)::BIGINT AS overcount
+        |FROM probes p JOIN cells g ON p.r = g.r AND p.c = g.c
+        |GROUP BY p.token, p.exact_cnt
+        |ORDER BY exact_cnt DESC, token""".stripMargin,
+
+    // int8 quantization: identical per-dim float32 amax, the same
+    // (x·127)/amax double quantize step, then PURE INTEGER dot products —
+    // the ranking is bit-exact by construction
+    "q53_quantized_topk" ->
+      """WITH d AS (
+        |  SELECT unnest(embedding) AS x,
+        |         unnest(range(0, len(embedding))) AS pos FROM embeddings),
+        |am AS (SELECT pos, max(abs(x)) AS am FROM d GROUP BY pos),
+        |ams AS (SELECT list(am ORDER BY pos) AS a FROM am),
+        |qz AS (
+        |  SELECT vec_id,
+        |    [CASE WHEN a[i+1] = 0 THEN 0
+        |          ELSE round(embedding[i+1]::DOUBLE * 127.0
+        |                     / a[i+1]::DOUBLE)::INT END
+        |     for i in range(0, len(embedding))] AS code
+        |  FROM embeddings, ams)
+        |SELECT * FROM (
+        |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |    list_sum([(q.code[i+1]::BIGINT * n.code[i+1]::BIGINT)
+        |              for i in range(0, len(q.code))])::BIGINT AS dot_q,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_sum([(q.code[i+1]::BIGINT * n.code[i+1]::BIGINT)
+        |                         for i in range(0, len(q.code))]) DESC,
+        |        n.vec_id) AS rk
+        |  FROM qz q, qz n WHERE q.vec_id < 20 AND q.vec_id <> n.vec_id)
+        |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin)
 
   private def q32OracleSql: String = {
     import graft.operators.Multimodal.{defaultBytesPerDoc, headerBytes}

@@ -63,6 +63,56 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("cos"), col("rk").cast("long").as("rk"))
   }
 
+  /**
+   * Symmetric per-dimension int8 scalar quantization + integer
+   * inner-product top-k — the memory/bandwidth scale path for an
+   * embedding store (4× smaller than float32; the dot product is pure
+   * integer, so the WHOLE ranking is engine-exact, no float ever):
+   * code_j = round(x_j · 127 / amax_j) with amax_j = max|x_j| over the
+   * corpus (zero-point 0, the FAISS `SQ8`-style symmetric variant).
+   *
+   * Determinism: amax is a float32 max (exact), the quantize step is two
+   * IEEE double ops + one round per element (identical cross-engine),
+   * and everything after is int arithmetic — the oracle rebuilds codes
+   * and ranking bit-exactly.
+   *
+   * Shape at 100 TB: the per-dim amax is ONE map-side-combined aggregate
+   * collapsing to `dim` rows, carried back as a single broadcast array
+   * row (bounded by the embedding dim, genuinely broadcastable); codes
+   * are a narrow per-row projection; the search is the [[bruteForceTopK]]
+   * broadcast-queries shape over int codes (at full scale the same codes
+   * feed the IVF cells of [[ivfAssign]] — quantization composes with,
+   * not replaces, the coarse index).
+   */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    // per-dimension max|x| → ONE row holding the pos-ordered amax array
+    val amax = corpus
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(max(abs(col("x"))).as("am"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("am")))).as("pa"))
+      .select(transform(col("pa"), s => s.getField("am")).as("ams"))
+    def codes(df: DataFrame, idAs: String, codeAs: String): DataFrame =
+      df.crossJoin(broadcast(amax)).select(
+        col("vec_id").as(idAs),
+        zip_with(col("embedding"), col("ams"), (x, m) =>
+          when(m === 0f, lit(0))
+            .otherwise(round(x.cast("double") * 127.0 / m.cast("double"))
+              .cast("int"))).as(codeAs))
+    val c = codes(corpus, "n_id", "n_code")
+    val q = codes(queries, "q_id", "q_code")
+    c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("dot_q",
+        aggregate(zip_with(col("q_code"), col("n_code"),
+          (a, b) => a.cast("long") * b.cast("long")),
+          lit(0L), (acc, v) => acc + v))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("dot_q").desc, col("n_id"))))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("n_id"), col("dot_q"),
+        col("rk").cast("long").as("rk"))
+  }
+
   /** ±1 Rademacher component for (plane, dim position), from xxhash64. */
   private def rademacher(plane: Column, j: Column): Column =
     (xxhash64(plane, j).bitwiseAND(lit(1L)) * 2 - 1).cast("double")

@@ -39,6 +39,60 @@ object Sketches {
   private def md5Bits40(c: Column): Column =
     conv(substring(md5(c), 1, 10), 16, 10).cast("long")
 
+  /** 60-bit md5-derived value — the cross-engine hash discipline
+    * (DuckDB: `('0x' || substr(md5(x),1,15))::BIGINT`). */
+  private def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /**
+   * Count-Min Sketch heavy hitters (Cormode & Muthukrishnan 2005) over
+   * the corpus token stream — the point-query frequency sketch a
+   * pipeline uses where an exact `groupBy(token)` would shuffle the
+   * whole vocabulary (stopword discovery, tokenizer-vocab seeding,
+   * frequency-capped filtering). Deterministic like [[hllDistinct]]:
+   * the d row-hashes are md5-derived, so both engines rebuild the
+   * identical d×w counter grid and the estimate (min over the d cells)
+   * is hash-verified end to end — including its signature one-sided
+   * error, surfaced as `overcount = cms_est - exact_cnt ≥ 0`.
+   *
+   * Shape at 100 TB: the grid build explodes tokens ×d into ONE
+   * map-side-combined groupBy whose output is capped at d·w rows per
+   * mapper regardless of input size; the probe side is a k-row dim
+   * joined back to the ≤ d·w-row grid. The exact count exists only to
+   * ground verification (`withExact = false` drops it and the
+   * full-vocabulary shuffle with it; the heavy-hitter candidates then
+   * come from the caller — e.g. a prior round's sketch).
+   *
+   * Output per candidate token: exact_cnt, cms_est, overcount, ordered
+   * by (exact_cnt desc, token).
+   */
+  def countMinHeavyHitters(docs: DataFrame, d: Int = 4, w: Int = 1024,
+                           k: Int = 20): DataFrame = {
+    val toks = docs.select(
+      explode(TextOps.tokens(col("text"))).as("token"))
+    val cell = (r: Column, t: Column) =>
+      md5Long(concat(lit("cms:"), r, lit(":"), t)) % w
+    // grid: ≤ d·w rows survive the map-side combine per mapper
+    val cells = toks
+      .select(explode(sequence(lit(0), lit(d - 1))).as("r"), col("token"))
+      .select(col("r"), cell(col("r"), col("token")).as("c"))
+      .groupBy("r", "c").agg(count(lit(1)).as("cnt"))
+    // exact counts ground the verification; top-k plans as
+    // TakeOrderedAndProject (O(k) per partition, no global sort)
+    val top = toks.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("token")).limit(k)
+    top
+      .select(col("token"), col("exact_cnt"),
+        explode(sequence(lit(0), lit(d - 1))).as("r"))
+      .withColumn("c", cell(col("r"), col("token")))
+      .join(cells, Seq("r", "c"))
+      .groupBy("token", "exact_cnt")
+      .agg(min(col("cnt")).as("cms_est"))
+      .select(col("token"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("exact_cnt")).as("overcount"))
+      .orderBy(col("exact_cnt").desc, col("token"))
+  }
+
   /**
    * Per-group deterministic-HLL distinct estimate of `key`.
    *

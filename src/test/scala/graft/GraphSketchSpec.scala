@@ -94,6 +94,63 @@ class GraphSketchSpec extends AnyFunSuite {
     assert(errPpm < 100000L, s"err_ppm $errPpm out of 3σ band")
   }
 
+  test("countMinHeavyHitters: bit-identical to a driver-side grid replay; one-sided error") {
+    // corpus with a known skew: 'hot' 30×, 'warm' 10×, filler words 1×
+    val txt = (Seq.fill(30)("hot") ++ Seq.fill(10)("warm") ++
+      (0 until 50).map(i => s"w$i")).mkString(" ")
+    val docs = Seq(1L -> txt).toDF("doc_id", "text")
+    val rows = Sketches.countMinHeavyHitters(docs, d = 4, w = 1024, k = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.head._1 == "hot" && rows.head._2 == 30L)
+    assert(rows(1)._1 == "warm" && rows(1)._2 == 10L)
+    assert(rows.forall { case (_, exact, est, over) =>
+      est >= exact && over == est - exact && over >= 0 })
+    // full driver-side replay of the d×w grid over the same md5 stream
+    val toks = txt.split("\\s+").toSeq
+    val grid = scala.collection.mutable.Map[(Int, Long), Long]()
+    for (t <- toks; r <- 0 until 4) {
+      val c = java.lang.Long.parseLong(md5hex(s"cms:$r:$t").take(15), 16) % 1024
+      grid((r, c)) = grid.getOrElse((r, c), 0L) + 1
+    }
+    for ((tok, _, est, _) <- rows) {
+      val want = (0 until 4).map { r =>
+        val c = java.lang.Long.parseLong(md5hex(s"cms:$r:$tok").take(15), 16) % 1024
+        grid((r, c))
+      }.min
+      assert(est == want, s"estimate mismatch for '$tok'")
+    }
+  }
+
+  test("quantizedTopK: codes match a driver replay, ranking is integer-exact, planted dup wins") {
+    import graft.operators.Similarity
+    // 8-dim corpus: id 0 and id 9 are near-identical (planted dup); the
+    // rest are axis-ish vectors with distinct directions
+    val vecs: Seq[(Long, Seq[Float])] = Seq(
+      0L -> Seq(0.9f, 0.1f, -0.3f, 0.5f, 0.0f, -0.7f, 0.2f, 0.4f),
+      9L -> Seq(0.89f, 0.11f, -0.29f, 0.5f, 0.01f, -0.69f, 0.2f, 0.41f)) ++
+      (1L to 8L).map(i => i -> (0 until 8).map(j =>
+        if (j == (i % 8)) 1.0f else 0.05f * ((i + j) % 3 - 1)).toSeq)
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.quantizedTopK(df, df.filter($"vec_id" === 0L), 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // driver replay: per-dim amax over the corpus, symmetric int8 codes
+    val dim = 8
+    val amax = (0 until dim).map(j => vecs.map(_._2(j).abs).max)
+    def code(v: Seq[Float]): Seq[Long] = (0 until dim).map { j =>
+      if (amax(j) == 0f) 0L
+      else math.round(v(j).toDouble * 127.0 / amax(j).toDouble)
+    }
+    val codes = vecs.map { case (id, v) => id -> code(v) }.toMap
+    val want = codes.filter(_._1 != 0L).toSeq
+      .map { case (id, c) => (id, c.zip(codes(0L)).map { case (a, b) => a * b }.sum) }
+      .sortBy { case (id, d) => (-d, id) }.take(3)
+    assert(got.map(r => (r._1, r._2)).toSeq == want)
+    assert(got.map(_._3).toSeq == Seq(1L, 2L, 3L))
+    assert(got.head._1 == 9L, "planted near-duplicate must rank first")
+    // all codes stay in the int8 envelope
+    assert(codes.values.forall(_.forall(c => c >= -127 && c <= 127)))
+  }
+
   test("hllDistinct: per-group isolation and withExact=false column shape") {
     val df = ((0 until 100).map(i => ("a", s"k$i")) ++
       (0 until 7).map(i => ("b", s"k$i"))).toDF("grp", "key")
