@@ -52,6 +52,42 @@ class PlanSpec extends AnyFunSuite {
       s"query side not broadcast:\n$plan")
   }
 
+  test("q52 CMS: top-k plans as TakeOrderedAndProject, probe side broadcasts") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = planOf(graft.operators.Sketches.countMinHeavyHitters(docs))
+    // the exact top-k must never be a global Sort — O(k) per partition
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"CMS top-k is not a distributed take:\n$plan")
+    // the k-row probe dim joins the <= d*w grid via broadcast, not SMJ
+    assert(!plan.contains("SortMergeJoin"),
+      s"CMS probe join degraded to sort-merge:\n$plan")
+  }
+
+  test("q53 quantization: amax and query sides broadcast, corpus never shuffles for codes") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val df = graft.operators.Similarity.quantizedTopK(
+      emb, emb.filter(col("vec_id") < 3), 5)
+    val plan = planOf(df)
+    // one dim-bounded amax row + the query codes both arrive by broadcast
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"quantization sides not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"quantized search degraded to sort-merge:\n$plan")
+  }
+
+  test("q50 pageRank: per-iteration contribs are a partial-aggregated shuffle on dst") {
+    import spark.implicits._
+    val docs = (0 until 64).map(_.toLong).toDF("doc_id")
+    val plan = planOf(graft.operators.Graphs.pageRank(docs, iters = 1))
+    // the groupBy(dst) must plan as HashAggregate partial+final (map-side
+    // combine eats hot-page in-degree skew before the exchange)
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"contrib aggregate lost its map-side combine:\n$plan")
+    // the once-partitioned edge list is cached and reused
+    assert(plan.contains("InMemoryTableScan"),
+      s"edge list not served from cache:\n$plan")
+  }
+
   test("custom expressions run inside WholeStageCodegen") {
     graft.functions.GraftExpressions.register(spark)
     // over a real scan (a literal input constant-folds to LocalTableScan —
