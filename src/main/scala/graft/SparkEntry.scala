@@ -515,6 +515,14 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 20), 5)
         .orderBy("q_id", "rk")
+    }),
+
+    // Histogram quantiles: per-source token-count p50/p90/p99 from a
+    // fixed-width integer histogram (shuffle carries <= buckets rows per
+    // group per mapper); integer interpolation makes the estimate
+    // hash-exact; the exact type-1 quantile grounds the error.
+    "q54_hist_quantiles" -> ((s, dir) => {
+      Sketches.histogramQuantiles(t(s, dir, "documents"))
     }))
 
   /** q30's oracle: the full IVF pipeline — seeded k-means (4 Lloyd
@@ -1392,7 +1400,37 @@ object SparkEntry {
         |                         for i in range(0, len(q.code))]) DESC,
         |        n.vec_id) AS rk
         |  FROM qz q, qz n WHERE q.vec_id < 20 AND q.vec_id <> n.vec_id)
-        |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin)
+        |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+    // histogram quantiles: same integer bucket (n div 4 clamped), same
+    // cumulative frame, same integer interpolation; exact type-1 quantile
+    // = value at sorted position ceil(p*N/100) with doc_id ties
+    "q54_hist_quantiles" ->
+      s"""WITH base AS (
+        |  SELECT source AS grp, doc_id, len($toksSql)::BIGINT AS n
+        |  FROM documents),
+        |tot AS (SELECT grp, count(*)::BIGINT AS n_docs FROM base GROUP BY grp),
+        |hist AS (SELECT grp, least(n // 4, 1023)::BIGINT AS b,
+        |           count(*)::BIGINT AS cnt FROM base GROUP BY 1, 2),
+        |cum AS (SELECT grp, b, cnt,
+        |          sum(cnt) OVER (PARTITION BY grp ORDER BY b)::BIGINT AS cum
+        |        FROM hist),
+        |probes AS (SELECT grp, n_docs, p.pct,
+        |             ((p.pct * n_docs + 99) // 100)::BIGINT AS need
+        |           FROM tot, (VALUES (50), (90), (99)) p(pct)),
+        |tgt AS (SELECT grp, pct, n_docs, need, b, cnt, cum,
+        |          row_number() OVER (PARTITION BY grp, pct ORDER BY b) AS rk
+        |        FROM probes JOIN cum USING (grp) WHERE cum >= need),
+        |est AS (SELECT grp, pct, n_docs, need,
+        |          (b * 4 + ((need - (cum - cnt) - 1) * 4) // cnt)::BIGINT AS est_tok
+        |        FROM tgt WHERE rk = 1),
+        |ranked AS (SELECT grp, n,
+        |             row_number() OVER (PARTITION BY grp ORDER BY n, doc_id) AS r
+        |           FROM base)
+        |SELECT e.grp AS source, e.pct, e.n_docs, e.est_tok,
+        |  ranked.n::BIGINT AS exact_tok, (e.est_tok - ranked.n)::BIGINT AS err
+        |FROM est e JOIN ranked ON e.grp = ranked.grp AND ranked.r = e.need
+        |ORDER BY source, pct""".stripMargin)
 
   private def q32OracleSql: String = {
     import graft.operators.Multimodal.{defaultBytesPerDoc, headerBytes}

@@ -94,6 +94,67 @@ object Sketches {
   }
 
   /**
+   * Deterministic histogram quantiles — the third member of the sketch
+   * family (distinct → [[hllDistinct]], frequency →
+   * [[countMinHeavyHitters]], quantiles → this): per-group p50/p90/p99
+   * of the document token count from a fixed-width integer histogram,
+   * where an exact quantile would sort every group. All arithmetic is
+   * integer (bucket = n div width clamped to buckets-1; the
+   * within-bucket interpolation is integer division), so the estimate
+   * is hash-exact cross-engine.
+   *
+   * Shape at 100 TB: the histogram build is ONE map-side-combined
+   * groupBy whose shuffle carries at most `buckets` rows per group per
+   * mapper; the quantile extraction is per-group window algebra over a
+   * ≤ `buckets`-row frame. The exact type-1 quantile (value at sorted
+   * position ceil(p·N/100), ties by doc_id) exists only to ground
+   * verification — `withExact = false` drops it and the per-group full
+   * sort with it.
+   *
+   * Output per (group, pct): n_docs, est_tok, exact_tok, err =
+   * est_tok − exact_tok, ordered by (group, pct).
+   */
+  def histogramQuantiles(docs: DataFrame, groupCol: String = "source",
+                         pcts: Seq[Int] = Seq(50, 90, 99), width: Int = 4,
+                         buckets: Int = 1024,
+                         withExact: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(groupCol).as("grp"), col("doc_id"),
+      TextOps.tokenCount(col("text")).cast("long").as("n"))
+    val totals = base.groupBy("grp").agg(count(lit(1)).as("n_docs"))
+    val hist = base
+      .groupBy(col("grp"), expr(s"least(n div $width, ${buckets - 1})").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum",
+      sum(col("cnt")).over(Window.partitionBy("grp").orderBy("b")))
+    val probes = totals.select(col("grp"), col("n_docs"),
+        explode(array(pcts.map(lit): _*)).as("pct"))
+      .withColumn("need", expr("(pct * n_docs + 99) div 100"))
+    val est = probes.join(cum, Seq("grp"))
+      .filter(col("cum") >= col("need"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("grp", "pct").orderBy("b")))
+      .filter(col("rk") === 1)
+      .select(col("grp"), col("pct"), col("n_docs"), col("need"),
+        expr(s"b * $width + ((need - (cum - cnt) - 1) * $width) div cnt")
+          .as("est_tok"))
+    val out =
+      if (!withExact)
+        est.select(col("grp").as(groupCol), col("pct"), col("n_docs"),
+          col("est_tok"))
+      else {
+        val ranked = base.withColumn("r", row_number().over(
+          Window.partitionBy("grp").orderBy("n", "doc_id")))
+        est.join(ranked,
+            est("grp") === ranked("grp") && ranked("r") === est("need"))
+          .select(est("grp").as(groupCol), col("pct"), col("n_docs"),
+            col("est_tok"), col("n").as("exact_tok"),
+            (col("est_tok") - col("n")).as("err"))
+      }
+    out.orderBy(groupCol, "pct")
+  }
+
+  /**
    * Per-group deterministic-HLL distinct estimate of `key`.
    *
    * Output per group: m, nonzero_registers, sum_inv (the exact integer

@@ -151,6 +151,45 @@ class GraphSketchSpec extends AnyFunSuite {
     assert(codes.values.forall(_.forall(c => c >= -127 && c <= 127)))
   }
 
+  test("histogramQuantiles: matches a driver-side replay; width=1 degenerates to exact") {
+    // two groups with hand-built token counts: g1 = 10,20,...,100 (one
+    // doc each); g2 = constant 7 tokens
+    def textOf(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    val docs = ((1 to 10).map(i => (i.toLong, textOf(i * 10), "g1")) ++
+      (11L to 15L).map(i => (i, textOf(7), "g2")))
+      .toDF("doc_id", "text", "source")
+    val got = Sketches.histogramQuantiles(docs)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // driver replay of the integer recurrence (width=4, buckets=1024)
+    def replay(ns: Seq[Long], pct: Int): (Long, Long) = {
+      val need = (pct * ns.length + 99) / 100
+      val hist = ns.groupBy(n => math.min(n / 4, 1023L)).view
+        .mapValues(_.size.toLong).toSeq.sortBy(_._1)
+      var cum = 0L
+      val (b, cnt, before) = hist.collectFirst {
+        case (b, c) if { cum += c; cum >= need } => (b, c, cum - c)
+      }.get
+      val est = b * 4 + ((need - before - 1) * 4) / cnt
+      (est, ns.sorted.apply(need.toInt - 1)) // type-1 exact
+    }
+    for (grp <- Seq("g1", "g2"); pct <- Seq(50, 90, 99)) {
+      val ns = if (grp == "g1") (1 to 10).map(_ * 10L) else Seq.fill(5)(7L)
+      val (est, exact) = replay(ns, pct)
+      val (nd, gotEst, gotExact, err) = got((grp, pct))
+      assert(nd == ns.length && gotEst == est && gotExact == exact &&
+        err == est - exact, s"($grp,$pct): got $gotEst/$gotExact want $est/$exact")
+    }
+    // width=1: every bucket holds one token-count value, so the estimate
+    // IS the exact type-1 quantile (err uniformly 0)
+    val exact1 = Sketches.histogramQuantiles(docs, width = 1).collect()
+    assert(exact1.forall(_.getLong(5) == 0L), "width=1 must be exact")
+    // slim shape at scale
+    assert(Sketches.histogramQuantiles(docs, withExact = false).columns.toSeq ==
+      Seq("source", "pct", "n_docs", "est_tok"))
+  }
+
   test("hllDistinct: per-group isolation and withExact=false column shape") {
     val df = ((0 until 100).map(i => ("a", s"k$i")) ++
       (0 until 7).map(i => ("b", s"k$i"))).toDF("grp", "key")
