@@ -72,8 +72,14 @@ object Graphs {
   def pageRank(docs: DataFrame, iters: Int = 3, fanout: Int = 4): DataFrame = {
     val n = docs.count()
     // One exchange up front; every iteration's src-join and the indeg
-    // aggregate reuse the cached, pre-partitioned edge list.
-    val edges = linkGraph(docs, n, fanout).repartition(col("src")).cache()
+    // aggregate reuse the pre-partitioned edge list. Eager localCheckpoint
+    // rather than cache(): same storage reuse, but the blocks are
+    // ContextCleaner-reclaimed when the result's lineage is dropped —
+    // cache() entries would pin CacheManager storage until an explicit
+    // unpersist the lazy return value cannot sequence (the q33
+    // dedupGroups discipline, Dedup.scala).
+    val edges = linkGraph(docs, n, fanout).repartition(col("src"))
+      .localCheckpoint(true)
     val nodes = docs.select(col("doc_id").as("id"))
     var ranks = nodes.select(col("id"), lit(1000000L).as("pr"))
     for (_ <- 1 to iters) {

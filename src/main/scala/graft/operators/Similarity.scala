@@ -77,24 +77,29 @@ object Similarity {
    * and ranking bit-exactly.
    *
    * Shape at 100 TB: the per-dim amax is ONE map-side-combined aggregate
-   * collapsing to `dim` rows, carried back as a single broadcast array
-   * row (bounded by the embedding dim, genuinely broadcastable); codes
-   * are a narrow per-row projection; the search is the [[bruteForceTopK]]
-   * broadcast-queries shape over int codes (at full scale the same codes
-   * feed the IVF cells of [[ivfAssign]] — quantization composes with,
-   * not replaces, the coarse index).
+   * collapsing to `dim` driver-resident rows (bounded by the embedding
+   * dim — the corpus itself never reaches the driver), folded into the
+   * code projection as a literal array so BOTH sides' codes cost zero
+   * joins and the corpus is scanned exactly once; the search is the
+   * [[bruteForceTopK]] broadcast-queries shape over int codes (at full
+   * scale the same codes feed the IVF cells of [[ivfAssign]] —
+   * quantization composes with, not replaces, the coarse index).
    */
   def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    // per-dimension max|x| → ONE row holding the pos-ordered amax array
-    val amax = corpus
+    // per-dimension max|x|, driver-resident as a pos-ordered literal array
+    // (the k-means "centers live on the driver, the corpus never does"
+    // shape, ivfKmeans below): ONE corpus scan total — a lazy amax
+    // subtree would re-run the full aggregate for the query side's codes
+    val ams: Seq[Float] = corpus
       .select(posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy("pos").agg(max(abs(col("x"))).as("am"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("am")))).as("pa"))
-      .select(transform(col("pa"), s => s.getField("am")).as("ams"))
+      .orderBy("pos")
+      .collect().map(_.getFloat(1)).toSeq // gate: O(P) — one row per embedding DIMENSION (bounded by dim, never per-vector)
+    val amsLit = typedlit(ams)
     def codes(df: DataFrame, idAs: String, codeAs: String): DataFrame =
-      df.crossJoin(broadcast(amax)).select(
+      df.select(
         col("vec_id").as(idAs),
-        zip_with(col("embedding"), col("ams"), (x, m) =>
+        zip_with(col("embedding"), amsLit, (x, m) =>
           when(m === 0f, lit(0))
             .otherwise(round(x.cast("double") * 127.0 / m.cast("double"))
               .cast("int"))).as(codeAs))

@@ -57,17 +57,21 @@ object Sketches {
    *
    * Shape at 100 TB: the grid build explodes tokens ×d into ONE
    * map-side-combined groupBy whose output is capped at d·w rows per
-   * mapper regardless of input size; the probe side is a k-row dim
-   * joined back to the ≤ d·w-row grid. The exact count exists only to
-   * ground verification (`withExact = false` drops it and the
-   * full-vocabulary shuffle with it; the heavy-hitter candidates then
-   * come from the caller — e.g. a prior round's sketch).
+   * mapper regardless of input size; the probe side is a bounded dim
+   * joined back to the ≤ d·w-row grid. The exact top-k count exists only
+   * to ground verification — pass `candidates` (a `token`-column
+   * DataFrame, e.g. a prior round's heavy hitters) to drop it and the
+   * full-vocabulary shuffle with it: the output is then the pure sketch
+   * estimate per candidate.
    *
-   * Output per candidate token: exact_cnt, cms_est, overcount, ordered
-   * by (exact_cnt desc, token).
+   * Output: with exact grounding (candidates = None) — (token,
+   * exact_cnt, cms_est, overcount) for the exact top-k, ordered by
+   * (exact_cnt desc, token); with caller candidates — (token, cms_est)
+   * ordered by (cms_est desc, token).
    */
   def countMinHeavyHitters(docs: DataFrame, d: Int = 4, w: Int = 1024,
-                           k: Int = 20): DataFrame = {
+                           k: Int = 20,
+                           candidates: Option[DataFrame] = None): DataFrame = {
     val toks = docs.select(
       explode(TextOps.tokens(col("text"))).as("token"))
     val cell = (r: Column, t: Column) =>
@@ -77,20 +81,26 @@ object Sketches {
       .select(explode(sequence(lit(0), lit(d - 1))).as("r"), col("token"))
       .select(col("r"), cell(col("r"), col("token")).as("c"))
       .groupBy("r", "c").agg(count(lit(1)).as("cnt"))
-    // exact counts ground the verification; top-k plans as
-    // TakeOrderedAndProject (O(k) per partition, no global sort)
-    val top = toks.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
-      .orderBy(col("exact_cnt").desc, col("token")).limit(k)
-    top
-      .select(col("token"), col("exact_cnt"),
-        explode(sequence(lit(0), lit(d - 1))).as("r"))
+    def estimate(probe: DataFrame): DataFrame = probe
+      .withColumn("r", explode(sequence(lit(0), lit(d - 1))))
       .withColumn("c", cell(col("r"), col("token")))
       .join(cells, Seq("r", "c"))
-      .groupBy("token", "exact_cnt")
+      .groupBy(probe.columns.map(col): _*)
       .agg(min(col("cnt")).as("cms_est"))
-      .select(col("token"), col("exact_cnt"), col("cms_est"),
-        (col("cms_est") - col("exact_cnt")).as("overcount"))
-      .orderBy(col("exact_cnt").desc, col("token"))
+    candidates match {
+      case Some(c) =>
+        estimate(c.select("token"))
+          .orderBy(col("cms_est").desc, col("token"))
+      case None =>
+        // exact counts ground the verification; top-k plans as
+        // TakeOrderedAndProject (O(k) per partition, no global sort)
+        val top = toks.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("token")).limit(k)
+        estimate(top)
+          .select(col("token"), col("exact_cnt"), col("cms_est"),
+            (col("cms_est") - col("exact_cnt")).as("overcount"))
+          .orderBy(col("exact_cnt").desc, col("token"))
+    }
   }
 
   /**

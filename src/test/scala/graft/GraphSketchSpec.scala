@@ -119,6 +119,14 @@ class GraphSketchSpec extends AnyFunSuite {
       }.min
       assert(est == want, s"estimate mismatch for '$tok'")
     }
+    // caller-candidates path: pure sketch estimates, no exact column, and
+    // the same grid values for the probed tokens
+    val cands = Seq("hot", "warm", "w0").toDF("token")
+    val slim = Sketches.countMinHeavyHitters(docs, candidates = Some(cands))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(slim.keySet == Set("hot", "warm", "w0"))
+    val full = rows.map(r => r._1 -> r._3).toMap
+    assert(slim.forall { case (t, e) => e == full(t) })
   }
 
   test("quantizedTopK: codes match a driver replay, ranking is integer-exact, planted dup wins") {

@@ -63,14 +63,18 @@ class PlanSpec extends AnyFunSuite {
       s"CMS probe join degraded to sort-merge:\n$plan")
   }
 
-  test("q53 quantization: amax and query sides broadcast, corpus never shuffles for codes") {
+  test("q53 quantization: codes are a pure projection (amax is a literal), queries broadcast") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val df = graft.operators.Similarity.quantizedTopK(
       emb, emb.filter(col("vec_id") < 3), 5)
     val plan = planOf(df)
-    // one dim-bounded amax row + the query codes both arrive by broadcast
+    // exactly ONE join in the whole search — the broadcast query×corpus
+    // pairing; the amax array is a literal, so the code projection adds
+    // no join and the corpus is scanned once
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
-      s"quantization sides not broadcast:\n$plan")
+      s"query side not broadcast:\n$plan")
+    assert("Join".r.findAllIn(plan).length == 1,
+      s"quantization added joins beyond the query pairing:\n$plan")
     assert(!plan.contains("SortMergeJoin"),
       s"quantized search degraded to sort-merge:\n$plan")
   }
@@ -83,9 +87,10 @@ class PlanSpec extends AnyFunSuite {
     // combine eats hot-page in-degree skew before the exchange)
     assert("HashAggregate".r.findAllIn(plan).length >= 2,
       s"contrib aggregate lost its map-side combine:\n$plan")
-    // the once-partitioned edge list is cached and reused
-    assert(plan.contains("InMemoryTableScan"),
-      s"edge list not served from cache:\n$plan")
+    // the once-partitioned edge list is served from its eager
+    // localCheckpoint (an ExistingRDD scan), never recomputed per iteration
+    assert(plan.contains("ExistingRDD"),
+      s"edge list not served from the checkpoint:\n$plan")
   }
 
   test("custom expressions run inside WholeStageCodegen") {
