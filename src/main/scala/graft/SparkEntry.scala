@@ -1351,23 +1351,24 @@ object SparkEntry {
         |FROM agg a JOIN ex USING (event_type)
         |ORDER BY event_type""".stripMargin,
 
-    // Count-Min Sketch: identical md5 row-hashes rebuild the d=4 × w=1024
-    // counter grid; estimate = min over the token's 4 cells; the exact
+    // Count-Min Sketch: ONE md5 per token; row r's cell is the digest's
+    // r-th disjoint 32-bit segment mod w — the same d=4 × w=1024 grid in
+    // both engines; estimate = min over the token's 4 cells; the exact
     // top-20 (count desc, token) grounds the one-sided error
     "q52_cms_heavy_hitters" ->
       s"""WITH toks AS (SELECT unnest($toksSql) AS token FROM documents),
         |cells AS (
         |  SELECT t.r,
-        |    ('0x' || substr(md5('cms:' || t.r::VARCHAR || ':' || token),
-        |                    1, 15))::BIGINT % 1024 AS c,
+        |    ('0x' || substr(md5('cms:' || token),
+        |                    t.r * 8 + 1, 8))::BIGINT % 1024 AS c,
         |    count(*)::BIGINT AS cnt
         |  FROM toks, range(0, 4) t(r) GROUP BY 1, 2),
         |top AS (SELECT token, count(*)::BIGINT AS exact_cnt FROM toks
         |        GROUP BY token ORDER BY exact_cnt DESC, token LIMIT 20),
         |probes AS (
         |  SELECT token, exact_cnt, t.r,
-        |    ('0x' || substr(md5('cms:' || t.r::VARCHAR || ':' || token),
-        |                    1, 15))::BIGINT % 1024 AS c
+        |    ('0x' || substr(md5('cms:' || token),
+        |                    t.r * 8 + 1, 8))::BIGINT % 1024 AS c
         |  FROM top, range(0, 4) t(r))
         |SELECT p.token, p.exact_cnt, min(g.cnt)::BIGINT AS cms_est,
         |  (min(g.cnt) - p.exact_cnt)::BIGINT AS overcount

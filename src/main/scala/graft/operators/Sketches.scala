@@ -50,14 +50,19 @@ object Sketches {
    * pipeline uses where an exact `groupBy(token)` would shuffle the
    * whole vocabulary (stopword discovery, tokenizer-vocab seeding,
    * frequency-capped filtering). Deterministic like [[hllDistinct]]:
-   * the d row-hashes are md5-derived, so both engines rebuild the
-   * identical d×w counter grid and the estimate (min over the d cells)
-   * is hash-verified end to end — including its signature one-sided
-   * error, surfaced as `overcount = cms_est - exact_cnt ≥ 0`.
+   * ONE md5 per token supplies all d row-hashes — row r's cell comes
+   * from the digest's r-th disjoint 32-bit segment (disjoint bits of one
+   * strong hash are the standard stand-in for d independent hashes) —
+   * so both engines rebuild the identical d×w counter grid and the
+   * estimate (min over the d cells) is hash-verified end to end,
+   * including its signature one-sided error, surfaced as
+   * `overcount = cms_est - exact_cnt ≥ 0`.
    *
-   * Shape at 100 TB: the grid build explodes tokens ×d into ONE
-   * map-side-combined groupBy whose output is capped at d·w rows per
-   * mapper regardless of input size; the probe side is a bounded dim
+   * Shape at 100 TB: hashing dominates the grid build, and the one-md5
+   * layout costs exactly one digest per token (a per-row hash would pay
+   * d×); the ×d explode feeds ONE map-side-combined groupBy whose
+   * output is capped at d·w rows per mapper regardless of input size;
+   * the probe side is a bounded dim
    * joined back to the ≤ d·w-row grid. The exact top-k count exists only
    * to ground verification — pass `candidates` (a `token`-column
    * DataFrame, e.g. a prior round's heavy hitters) to drop it and the
@@ -72,18 +77,23 @@ object Sketches {
   def countMinHeavyHitters(docs: DataFrame, d: Int = 4, w: Int = 1024,
                            k: Int = 20,
                            candidates: Option[DataFrame] = None): DataFrame = {
+    require(d >= 1 && d <= 4, s"d=$d: one md5 yields 4 disjoint 32-bit segments")
     val toks = docs.select(
       explode(TextOps.tokens(col("text"))).as("token"))
-    val cell = (r: Column, t: Column) =>
-      md5Long(concat(lit("cms:"), r, lit(":"), t)) % w
+    // ONE digest per token; (r, c) pairs from its disjoint hex segments
+    val rcPairs = (t: Column) => {
+      val h = md5(concat(lit("cms:"), t))
+      posexplode(transform(sequence(lit(0), lit(d - 1)), r =>
+        conv(h.substr(r * 8 + 1, lit(8)), 16, 10).cast("long") % w))
+    }
     // grid: ≤ d·w rows survive the map-side combine per mapper
     val cells = toks
-      .select(explode(sequence(lit(0), lit(d - 1))).as("r"), col("token"))
-      .select(col("r"), cell(col("r"), col("token")).as("c"))
+      .select(rcPairs(col("token")).as(Seq("r", "c")))
       .groupBy("r", "c").agg(count(lit(1)).as("cnt"))
     def estimate(probe: DataFrame): DataFrame = probe
-      .withColumn("r", explode(sequence(lit(0), lit(d - 1))))
-      .withColumn("c", cell(col("r"), col("token")))
+      .select(probe.columns.map(col) :+ rcPairs(col("token")): _*)
+      .withColumnRenamed("pos", "r")
+      .withColumnRenamed("col", "c")
       .join(cells, Seq("r", "c"))
       .groupBy(probe.columns.map(col): _*)
       .agg(min(col("cnt")).as("cms_est"))

@@ -105,18 +105,19 @@ class GraphSketchSpec extends AnyFunSuite {
     assert(rows(1)._1 == "warm" && rows(1)._2 == 10L)
     assert(rows.forall { case (_, exact, est, over) =>
       est >= exact && over == est - exact && over >= 0 })
-    // full driver-side replay of the d×w grid over the same md5 stream
+    // full driver-side replay of the d×w grid: ONE md5 per token, row
+    // r's cell from the digest's r-th 32-bit hex segment
+    def cellOf(t: String, r: Int): Long =
+      java.lang.Long.parseLong(
+        md5hex(s"cms:$t").substring(r * 8, r * 8 + 8), 16) % 1024
     val toks = txt.split("\\s+").toSeq
     val grid = scala.collection.mutable.Map[(Int, Long), Long]()
     for (t <- toks; r <- 0 until 4) {
-      val c = java.lang.Long.parseLong(md5hex(s"cms:$r:$t").take(15), 16) % 1024
+      val c = cellOf(t, r)
       grid((r, c)) = grid.getOrElse((r, c), 0L) + 1
     }
     for ((tok, _, est, _) <- rows) {
-      val want = (0 until 4).map { r =>
-        val c = java.lang.Long.parseLong(md5hex(s"cms:$r:$tok").take(15), 16) % 1024
-        grid((r, c))
-      }.min
+      val want = (0 until 4).map(r => grid((r, cellOf(tok, r)))).min
       assert(est == want, s"estimate mismatch for '$tok'")
     }
     // caller-candidates path: pure sketch estimates, no exact column, and
