@@ -523,6 +523,15 @@ object SparkEntry {
     // hash-exact; the exact type-1 quantile grounds the error.
     "q54_hist_quantiles" -> ((s, dir) => {
       Sketches.histogramQuantiles(t(s, dir, "documents"))
+    }),
+
+    // Model-based quality-filter inference (fastText/DCLM/FineWeb-Edu
+    // style): hashing-trick unigram+bigram features, md5-derived
+    // stand-in weight table (the trained artifact's seat), integer
+    // micro-unit logit — a pure per-row projection that rides the scan.
+    "q55_quality_classifier" -> ((s, dir) => {
+      Corpus.qualityClassifier(t(s, dir, "documents"))
+        .orderBy("doc_id")
     }))
 
   /** q30's oracle: the full IVF pipeline — seeded k-means (4 Lloyd
@@ -1431,7 +1440,28 @@ object SparkEntry {
         |SELECT e.grp AS source, e.pct, e.n_docs, e.est_tok,
         |  ranked.n::BIGINT AS exact_tok, (e.est_tok - ranked.n)::BIGINT AS err
         |FROM est e JOIN ranked ON e.grp = ranked.grp AND ranked.r = e.need
-        |ORDER BY source, pct""".stripMargin)
+        |ORDER BY source, pct""".stripMargin,
+
+    // quality-classifier inference: identical hashed unigram+bigram
+    // feature buckets (md5 'qf:'), identical md5-derived weight table
+    // ('qw:' per BUCKET INDEX, mod 2001 - 1000 micro-units), integer
+    // logit sum — the left join restores empty-feature docs at logit 0
+    "q55_quality_classifier" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+        |feats AS (SELECT doc_id,
+        |    ('0x' || substr(md5('qf:' || gram), 1, 15))::BIGINT % 4096 AS b
+        |  FROM (SELECT doc_id, unnest(list_concat(t,
+        |      CASE WHEN len(t) >= 2
+        |           THEN [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]
+        |           ELSE [] END)) AS gram FROM toks)),
+        |w AS (SELECT doc_id, count(*)::BIGINT AS n_feats,
+        |    sum(('0x' || substr(md5('qw:' || b::VARCHAR), 1, 15))::BIGINT
+        |        % 2001 - 1000)::BIGINT AS logit
+        |  FROM feats GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(w.n_feats, 0)::BIGINT AS n_feats,
+        |  coalesce(w.logit, 0)::BIGINT AS logit_micro,
+        |  (CASE WHEN coalesce(w.logit, 0) >= 0 THEN 1 ELSE 0 END)::BIGINT AS keep
+        |FROM toks t LEFT JOIN w USING (doc_id) ORDER BY doc_id""".stripMargin)
 
   private def q32OracleSql: String = {
     import graft.operators.Multimodal.{defaultBytesPerDoc, headerBytes}

@@ -427,20 +427,26 @@ object Corpus {
           i => concat_ws(" ", slice(t, i, lit(2)))))
         .otherwise(expr("array()").cast("array<string>"))), 1)
 
-  /** Hashed n-gram features for [[dsirSample]]: every unigram AND bigram
-    * occurrence, md5-bucketed into `buckets` slots. The token array binds
-    * once (the [[TextOps.shingles]] lesson); docs with < 2 tokens emit no
-    * bigrams, empty docs emit nothing. */
-  private def dsirGrams(toks: Column, buckets: Int): Column =
+  /** Hashed n-gram features (the hashing trick): every unigram AND bigram
+    * occurrence, md5-bucketed into `buckets` slots under a namespacing
+    * `prefix` so different models' feature spaces never collide. The token
+    * array binds once (the [[TextOps.shingles]] lesson); docs with < 2
+    * tokens emit no bigrams, empty docs emit nothing. Shared by
+    * [[dsirSample]] and [[qualityClassifier]]. */
+  private def hashedGrams(toks: Column, buckets: Int, prefix: String): Column =
     element_at(transform(array(toks), t => {
       val bigrams = when(size(t) >= 2,
         transform(sequence(lit(1), size(t) - 1),
           i => concat_ws(" ", slice(t, i, lit(2)))))
         .otherwise(expr("array()").cast("array<string>"))
       transform(concat(t, bigrams), g =>
-        (conv(substring(md5(concat(lit("dsir:"), g)), 1, 15), 16, 10)
+        (conv(substring(md5(concat(lit(prefix), g)), 1, 15), 16, 10)
           .cast("long") % buckets).cast("int"))
     }), 1)
+
+  /** Hashed n-gram features for [[dsirSample]]. */
+  private def dsirGrams(toks: Column, buckets: Int): Column =
+    hashedGrams(toks, buckets, "dsir:")
 
   /**
    * DSIR data selection (Xie et al. 2023, "Data Selection for Language
@@ -505,5 +511,67 @@ object Corpus {
       .withColumn("score_micro", col("w_micro") + col("g_micro"))
       .orderBy(col("score_micro").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** Deterministic micro-unit weight table for [[qualityClassifier]]:
+    * bucket b's weight = (md5("qw:b") low-60-bits mod 2001) − 1000, i.e.
+    * uniform in [−1000, 1000] micro-units — a SEEDED STAND-IN for a
+    * trained model's coefficients (training happens offline; no ML
+    * runtime exists in this sandbox), chosen md5-derived so the DuckDB
+    * oracle recomputes the identical table in SQL. Swapping in real
+    * fastText/logistic weights is a one-array change. */
+  def classifierWeights(buckets: Int): Seq[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Seq.tabulate(buckets) { b =>
+      val hex = md.digest(s"qw:$b".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        .map(x => f"$x%02x").mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 2001 - 1000
+    }
+  }
+
+  /**
+   * Model-based quality-filter INFERENCE (the fastText / DCLM / FineWeb-Edu
+   * classifier pass): score every document with a linear bag-of-n-grams
+   * model over hashing-trick features — bucket = md5("qf:" ++ gram) mod
+   * `buckets` for every unigram and bigram occurrence — and keep documents
+   * whose logit clears the threshold. The weight table is the md5-derived
+   * deterministic stand-in from [[classifierWeights]] (clearly marked; the
+   * featurization, the broadcast weight table, and the integer logit sum
+   * are the production pipeline).
+   *
+   * Determinism: weights are integer micro-units and the logit is an
+   * integer SUM over feature occurrences — exact in any accumulation
+   * order, so the score is hash-verifiable cross-engine (the q44
+   * discipline).
+   *
+   * Shape at 100 TB: a pure PER-ROW projection — the weight table rides
+   * the plan as a constant array (buckets ≤ ~1M fits comfortably; a
+   * larger model becomes a broadcast dim joined on bucket), features are
+   * hashed and summed inside the scan stage, no explode, no shuffle, no
+   * state. This is the cheapest possible plan for classifier inference:
+   * it pipelines with whatever filter/dedup stage runs next.
+   *
+   * Output per doc: n_feats (unigram+bigram occurrences), logit_micro
+   * (bias + Σ w[bucket]), keep (1 iff logit_micro ≥ 0).
+   */
+  def qualityClassifier(docs: DataFrame, buckets: Int = 4096,
+      biasMicro: Long = 0L): DataFrame = {
+    val wLit = typedlit(classifierWeights(buckets))
+    // one row-struct per doc: the feature array binds ONCE (size + fold
+    // both read it; CollapseProject keeps multi-referenced non-trivial
+    // aliases materialized, but the nested-transform binding makes the
+    // single evaluation explicit rather than optimizer-dependent)
+    val row = element_at(transform(
+      array(hashedGrams(TextOps.tokens(col("text")), buckets, "qf:")), f =>
+        struct(
+          size(f).cast("long").as("n_feats"),
+          (lit(biasMicro) + aggregate(f, lit(0L),
+            (acc, b) => acc + element_at(wLit, (b + 1).cast("int"))))
+            .as("logit_micro"))), 1)
+    docs
+      .select(col("doc_id"), row.as("r"))
+      .select(col("doc_id"), col("r.n_feats").as("n_feats"),
+        col("r.logit_micro").as("logit_micro"))
+      .withColumn("keep", (col("logit_micro") >= 0L).cast("long"))
   }
 }

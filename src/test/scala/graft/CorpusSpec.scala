@@ -291,4 +291,50 @@ class CorpusSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       "the log-ratio dim must broadcast onto the per-doc counts")
   }
+
+  test("qualityClassifier: logit equals an independent driver replay; edges") {
+    // driver replay of the full formula: unigrams + bigrams, md5 'qf:'
+    // bucket, md5 'qw:' weight table — including the 0-token and 1-token
+    // (no bigram) edges and the keep threshold on both sides of 0
+    val docs = Seq(
+      (1L, "the quick brown fox"), // 4 uni + 3 bi
+      (2L, "solo"),                // 1 uni, no bigram
+      (3L, ""),                    // no features: logit = bias = 0, keep
+      (4L, "  padded   spacing  ") // whitespace-normalized tokens
+    ).toDF("doc_id", "text")
+    val buckets = 4096
+    val w = Corpus.classifierWeights(buckets)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("US-ASCII")).map(b => f"$b%02x").mkString
+    def bucket(g: String): Int =
+      (java.lang.Long.parseLong(md5hex("qf:" + g).substring(0, 15), 16)
+        % buckets).toInt
+    def expected(text: String): (Long, Long) = {
+      val t = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val grams = t ++ t.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      (grams.size.toLong, grams.map(g => w(bucket(g))).sum)
+    }
+    val got = Corpus.qualityClassifier(docs, buckets)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    for ((id, text) <- Seq(1L -> "the quick brown fox", 2L -> "solo",
+        3L -> "", 4L -> "  padded   spacing  ")) {
+      val (nf, logit) = expected(text)
+      assert(got(id) == ((nf, logit, if (logit >= 0) 1L else 0L)),
+        s"doc $id: got ${got(id)}, expected ($nf, $logit)")
+    }
+    // the weight table is genuinely signed (a one-sided table would make
+    // `keep` degenerate) and the stand-in is deterministic
+    assert(w.exists(_ < 0) && w.exists(_ > 0))
+    assert(w == Corpus.classifierWeights(buckets))
+  }
+
+  test("qualityClassifier is a pure per-row projection: no shuffle") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = Corpus.qualityClassifier(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"classifier inference must ride the scan, no shuffle:\n$plan")
+  }
 }
