@@ -532,6 +532,19 @@ object SparkEntry {
     "q55_quality_classifier" -> ((s, dir) => {
       Corpus.qualityClassifier(t(s, dir, "documents"))
         .orderBy("doc_id")
+    }),
+
+    // Product quantization ANN (FAISS PQ-style) entirely in the integer
+    // domain: the q53 int8 codes split into 8 subspaces, each quantized
+    // against a 16-entry md5-sampled codebook; search is asymmetric
+    // distance computation — per query one 8×16 integer LUT, corpus
+    // vectors score as 8 table lookups over their byte codes. Integer
+    // distances end-to-end = engine-exact; exact_l2 grounds the ADC
+    // estimate per reported pair.
+    "q56_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), 5)
+        .orderBy("q_id", "rk")
     }))
 
   /** q30's oracle: the full IVF pipeline — seeded k-means (4 Lloyd
@@ -1461,7 +1474,65 @@ object SparkEntry {
         |SELECT t.doc_id, coalesce(w.n_feats, 0)::BIGINT AS n_feats,
         |  coalesce(w.logit, 0)::BIGINT AS logit_micro,
         |  (CASE WHEN coalesce(w.logit, 0) >= 0 THEN 1 ELSE 0 END)::BIGINT AS keep
-        |FROM toks t LEFT JOIN w USING (doc_id) ORDER BY doc_id""".stripMargin)
+        |FROM toks t LEFT JOIN w USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // PQ ANN: same int8 codes as q53, codebook = the 16 md5-smallest
+    // ids' codes (codebook index = rank in (md5, vec_id) order), encode
+    // = per-subspace argmin integer L2 with first-index ties, ADC = sum
+    // of the per-(j, code) distances — every distance integer, so the
+    // whole pipeline replays engine-exact
+    "q56_pq_topk" ->
+      """WITH d AS (
+        |  SELECT unnest(embedding) AS x,
+        |         unnest(range(0, len(embedding))) AS pos FROM embeddings),
+        |am AS (SELECT pos, max(abs(x)) AS am FROM d GROUP BY pos),
+        |ams AS (SELECT list(am ORDER BY pos) AS a FROM am),
+        |qz AS (
+        |  SELECT vec_id,
+        |    [CASE WHEN a[i+1] = 0 THEN 0
+        |          ELSE round(embedding[i+1]::DOUBLE * 127.0
+        |                     / a[i+1]::DOUBLE)::INT END
+        |     for i in range(0, len(embedding))] AS code
+        |  FROM embeddings, ams),
+        |cbrows AS (
+        |  SELECT c, code FROM (
+        |    SELECT code, row_number() OVER (ORDER BY
+        |        ('0x' || substr(md5('pqcb:' || vec_id::VARCHAR), 1, 15))::BIGINT,
+        |        vec_id) - 1 AS c
+        |    FROM qz) WHERE c < 16),
+        |sub AS (
+        |  SELECT t.j, cb.c, cb.code[t.j*8+1 : t.j*8+8] AS sv
+        |  FROM cbrows cb, range(0, 8) t(j)),
+        |vd AS (
+        |  SELECT v.vec_id, s.j, s.c,
+        |    list_sum([ (v.code[s.j*8+i+1]::BIGINT - s.sv[i+1]::BIGINT)
+        |             * (v.code[s.j*8+i+1]::BIGINT - s.sv[i+1]::BIGINT)
+        |               for i in range(0, 8)])::BIGINT AS dist
+        |  FROM qz v, sub s),
+        |enc AS (
+        |  SELECT vec_id, j, c AS pq FROM (
+        |    SELECT vec_id, j, c,
+        |      row_number() OVER (PARTITION BY vec_id, j
+        |        ORDER BY dist, c) AS rk
+        |    FROM vd) WHERE rk = 1),
+        |adc AS (
+        |  SELECT qv.vec_id AS q_id, en.vec_id AS n_id,
+        |    sum(qv.dist)::BIGINT AS adc_dist
+        |  FROM vd qv JOIN enc en ON qv.j = en.j AND qv.c = en.pq
+        |  WHERE qv.vec_id < 10 AND qv.vec_id <> en.vec_id
+        |  GROUP BY 1, 2),
+        |ex AS (
+        |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |    list_sum([ (q.code[i+1]::BIGINT - n.code[i+1]::BIGINT)
+        |             * (q.code[i+1]::BIGINT - n.code[i+1]::BIGINT)
+        |               for i in range(0, len(q.code))])::BIGINT AS exact_l2
+        |  FROM qz q, qz n WHERE q.vec_id < 10 AND q.vec_id <> n.vec_id)
+        |SELECT * FROM (
+        |  SELECT a.q_id, a.n_id, a.adc_dist, ex.exact_l2,
+        |    row_number() OVER (PARTITION BY a.q_id
+        |      ORDER BY a.adc_dist, a.n_id)::BIGINT AS rk
+        |  FROM adc a JOIN ex USING (q_id, n_id))
+        |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin)
 
   private def q32OracleSql: String = {
     import graft.operators.Multimodal.{defaultBytesPerDoc, headerBytes}

@@ -86,25 +86,9 @@ object Similarity {
    * quantization composes with, not replaces, the coarse index).
    */
   def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    // per-dimension max|x|, driver-resident as a pos-ordered literal array
-    // (the k-means "centers live on the driver, the corpus never does"
-    // shape, ivfKmeans below): ONE corpus scan total — a lazy amax
-    // subtree would re-run the full aggregate for the query side's codes
-    val ams: Seq[Float] = corpus
-      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy("pos").agg(max(abs(col("x"))).as("am"))
-      .orderBy("pos")
-      .collect().map(_.getFloat(1)).toSeq // gate: O(P) — one row per embedding DIMENSION (bounded by dim, never per-vector)
-    val amsLit = typedlit(ams)
-    def codes(df: DataFrame, idAs: String, codeAs: String): DataFrame =
-      df.select(
-        col("vec_id").as(idAs),
-        zip_with(col("embedding"), amsLit, (x, m) =>
-          when(m === 0f, lit(0))
-            .otherwise(round(x.cast("double") * 127.0 / m.cast("double"))
-              .cast("int"))).as(codeAs))
-    val c = codes(corpus, "n_id", "n_code")
-    val q = codes(queries, "q_id", "q_code")
+    val amsLit = typedlit(amaxGrid(corpus))
+    val c = int8Codes(corpus, amsLit, "n_id", "n_code")
+    val q = int8Codes(queries, amsLit, "q_id", "q_code")
     c.join(broadcast(q), col("q_id") =!= col("n_id"))
       .withColumn("dot_q",
         aggregate(zip_with(col("q_code"), col("n_code"),
@@ -116,6 +100,131 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("q_id"), col("n_id"), col("dot_q"),
         col("rk").cast("long").as("rk"))
+  }
+
+  /** Per-dimension max|x| over the corpus, driver-resident as a
+    * pos-ordered array (the k-means "centers live on the driver, the
+    * corpus never does" shape, [[ivfKmeans]]): ONE corpus scan total — a
+    * lazy amax subtree would re-run the full aggregate for every caller
+    * of the resulting literal. */
+  private def amaxGrid(corpus: DataFrame): Seq[Float] = corpus
+    .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+    .groupBy("pos").agg(max(abs(col("x"))).as("am"))
+    .orderBy("pos")
+    .collect().map(_.getFloat(1)).toSeq // gate: O(P) — one row per embedding DIMENSION (bounded by dim, never per-vector)
+
+  /** Symmetric int8 codes against a literal amax grid (see
+    * [[quantizedTopK]] for the determinism argument). */
+  private def int8Codes(df: DataFrame, amsLit: Column,
+      idAs: String, codeAs: String): DataFrame =
+    df.select(
+      col("vec_id").as(idAs),
+      zip_with(col("embedding"), amsLit, (x, m) =>
+        when(m === 0f, lit(0))
+          .otherwise(round(x.cast("double") * 127.0 / m.cast("double"))
+            .cast("int"))).as(codeAs))
+
+  /**
+   * Product quantization top-k (Jégou et al. 2011, the FAISS `PQ` path)
+   * in the INTEGER domain: the [[quantizedTopK]] int8 codes are split
+   * into `m` subspaces; each subspace is vector-quantized against a
+   * `ks`-entry codebook; a vector's compressed form is `m` small code
+   * indices (m bytes vs dim floats — 32× here) and search is asymmetric
+   * distance computation: per query ONE m×ks lookup table of exact
+   * integer subspace distances, then every corpus vector scores as a sum
+   * of `m` table lookups over its code — never touching the original
+   * embedding.
+   *
+   * Codebook: the `ks` int8 codes of the md5-smallest vec_ids — a
+   * deterministic SAMPLE codebook (exactly a k-means init; refining it
+   * is the [[ivfKmeans]] Lloyd loop per subspace, an offline training
+   * concern deliberately out of this operator). md5-seeding makes the
+   * DuckDB oracle rebuild the identical codebook, encode, LUT, and
+   * ranking — and since every distance is integer, the whole pipeline is
+   * engine-exact with no rounding discipline needed.
+   *
+   * Shape at 100 TB: the codebook sample is a distributed
+   * TakeOrderedAndProject (O(ks) driver rows); encode is a narrow
+   * per-row projection against the literal codebook (m·ks·sub integer
+   * ops/row, rides the scan that writes the code column); the search
+   * scans ONLY the m-byte codes with the bounded query side broadcast
+   * (per-query LUT is m×ks longs), and the only shuffle is the per-query
+   * top-k. `withExact = true` re-attaches the full int8 codes to ground
+   * the ADC estimate (exact_l2 per reported pair) — at corpus scale you
+   * drop it and the code-column scan is the entire I/O.
+   *
+   * Output per query: (q_id, n_id, adc_dist, exact_l2?, rk ≤ k), ranked
+   * by (adc_dist asc, n_id).
+   */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, ks: Int = 16, withExact: Boolean = true): DataFrame = {
+    val ams = amaxGrid(corpus)
+    val amsLit = typedlit(ams)
+    val dim = ams.length
+    require(dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
+    val sub = dim / m
+    val c = int8Codes(corpus, amsLit, "n_id", "n_code")
+    // codebook sample: ks md5-smallest ids — plans as a distributed
+    // TakeOrderedAndProject (per-partition heaps), never a global sort
+    val sample = c.orderBy(
+        conv(substring(md5(concat(lit("pqcb:"),
+          col("n_id").cast("string"))), 1, 15), 16, 10).cast("long"),
+        col("n_id"))
+      .limit(ks)
+      .collect() // gate: O(P) — ks codebook rows (config-bounded), never per-vector
+    require(sample.length == ks, s"corpus smaller than codebook: ${sample.length} < $ks")
+    val cb: Seq[Seq[Seq[Int]]] = Seq.tabulate(m)(j =>
+      sample.toSeq.map(_.getSeq[Int](1).slice(j * sub, (j + 1) * sub).toSeq))
+    val cbLit = typedlit(cb)
+    // exact integer L2 between a subvector and codebook entry (j, cc)
+    def subDist(subv: Column, j: Column, cc: Column): Column =
+      aggregate(zip_with(subv,
+        element_at(element_at(cbLit, (j + 1).cast("int")), (cc + 1).cast("int")),
+        (x, y) => (x.cast("long") - y.cast("long")) *
+          (x.cast("long") - y.cast("long"))),
+        lit(0L), (a, v) => a + v)
+    // encode: per subspace the argmin-distance codebook index (ties →
+    // smallest index: array_position returns the FIRST hit)
+    def pqEncode(code: Column): Column =
+      transform(sequence(lit(0), lit(m - 1)), j => {
+        val subv = slice(code, j * lit(sub) + lit(1), lit(sub))
+        val dists = transform(sequence(lit(0), lit(ks - 1)),
+          cc => subDist(subv, j, cc))
+        (call_function("array_position", dists, array_min(dists)) - 1)
+          .cast("int")
+      })
+    // per-query ADC lookup table: lut[j][c] = dist(q's subspace j, cb[j][c])
+    def lutOf(code: Column): Column =
+      transform(sequence(lit(0), lit(m - 1)), j => {
+        val subv = slice(code, j * lit(sub) + lit(1), lit(sub))
+        transform(sequence(lit(0), lit(ks - 1)), cc => subDist(subv, j, cc))
+      })
+    val nCols = Seq(col("n_id"), pqEncode(col("n_code")).as("pq")) ++
+      (if (withExact) Seq(col("n_code")) else Nil)
+    val n = c.select(nCols: _*)
+    val q = int8Codes(queries, amsLit, "q_id", "q_code")
+      .select(col("q_id"), col("q_code"), lutOf(col("q_code")).as("lut"))
+    val joined = n.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("adc_dist",
+        aggregate(zip_with(col("lut"), col("pq"),
+          (l, p) => element_at(l, (p + 1).cast("int"))),
+          lit(0L), (a, v) => a + v))
+    val grounded =
+      if (withExact) joined.withColumn("exact_l2",
+        aggregate(zip_with(col("q_code"), col("n_code"),
+          (a, b) => (a.cast("long") - b.cast("long")) *
+            (a.cast("long") - b.cast("long"))),
+          lit(0L), (acc, v) => acc + v))
+      else joined
+    val outCols = Seq(col("q_id"), col("n_id"), col("adc_dist")) ++
+      (if (withExact) Seq(col("exact_l2")) else Nil) :+
+      col("rk").cast("long").as("rk")
+    grounded
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("adc_dist"), col("n_id"))))
+      .filter(col("rk") <= k)
+      .select(outCols: _*)
   }
 
   /** ±1 Rademacher component for (plane, dim position), from xxhash64. */

@@ -160,6 +160,61 @@ class GraphSketchSpec extends AnyFunSuite {
     assert(codes.values.forall(_.forall(c => c >= -127 && c <= 127)))
   }
 
+  test("pqTopK: full driver replay — codebook sample, argmin encode, ADC = LUT sum, exact_l2 grounds") {
+    import graft.operators.Similarity
+    // 16-dim corpus (m=8 → 2-dim subspaces), ks=4 codebook; ids chosen so
+    // the md5 sample order is non-trivial
+    val dim = 16
+    val vecs: Seq[(Long, Seq[Float])] = (0L until 10L).map { i =>
+      i -> (0 until dim).map(j =>
+        (((i * 31 + j * 17) % 13).toFloat - 6f) / 6f).toSeq
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.pqTopK(df, df.filter($"vec_id" === 3L), 4,
+        m = 8, ks = 4)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // ---- driver replay ----
+    val amax = (0 until dim).map(j => vecs.map(_._2(j).abs).max)
+    // Spark round() is HALF_UP (away from zero on negatives) — math.round
+    // would drift on exact -x.5 codes
+    def code(v: Seq[Float]): Seq[Long] = (0 until dim).map { j =>
+      if (amax(j) == 0f) 0L
+      else BigDecimal(v(j).toDouble * 127.0 / amax(j).toDouble)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val codes = vecs.map { case (id, v) => id -> code(v) }.toMap
+    // codebook: the 4 (md5, id)-smallest ids' codes, index = sample rank
+    val cbIds = vecs.map(_._1).sortBy(id =>
+      (java.lang.Long.parseLong(md5hex(s"pqcb:$id").take(15), 16), id)).take(4)
+    val cb: Seq[Seq[Seq[Long]]] = (0 until 8).map(j =>
+      cbIds.map(id => codes(id).slice(j * 2, j * 2 + 2)))
+    def subDist(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def encode(c: Seq[Long]): Seq[Int] = (0 until 8).map { j =>
+      val sv = c.slice(j * 2, j * 2 + 2)
+      val ds = cb(j).map(subDist(sv, _))
+      ds.indexOf(ds.min) // first hit = smallest index on ties
+    }
+    val qc = codes(3L)
+    val want = vecs.map(_._1).filter(_ != 3L).map { id =>
+      val adc = (0 until 8).map(j =>
+        subDist(qc.slice(j * 2, j * 2 + 2), cb(j)(encode(codes(id))(j)))).sum
+      (id, adc, subDist(qc, codes(id)))
+    }.sortBy { case (id, adc, _) => (adc, id) }.take(4)
+    assert(got.map(r => (r._2, r._3, r._4)).toSeq ==
+      want.map { case (id, adc, ex) => (id, adc, ex) })
+    assert(got.map(_._5).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(got.forall(_._1 == 3L))
+    // ADC estimates ground against exact: a vector sharing its codebook
+    // entry scores the distance to that ENTRY, never negative
+    assert(got.forall(_._3 >= 0L))
+    // slim at-scale shape: withExact=false drops the full-code re-attach
+    assert(Similarity.pqTopK(df, df.filter($"vec_id" === 3L), 2,
+        m = 8, ks = 4, withExact = false).columns.toSeq ==
+      Seq("q_id", "n_id", "adc_dist", "rk"))
+  }
+
   test("histogramQuantiles: matches a driver-side replay; width=1 degenerates to exact") {
     // two groups with hand-built token counts: g1 = 10,20,...,100 (one
     // doc each); g2 = constant 7 tokens

@@ -79,6 +79,22 @@ class PlanSpec extends AnyFunSuite {
       s"quantized search degraded to sort-merge:\n$plan")
   }
 
+  test("q56 PQ: search joins once (broadcast queries), codebook/LUT are literals") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val df = graft.operators.Similarity.pqTopK(
+      emb, emb.filter(col("vec_id") < 3), 5, withExact = false)
+    val plan = planOf(df)
+    // codebook + per-query LUT are literal arrays, so the only join in
+    // the search is the broadcast query×corpus pairing — the corpus's
+    // m-byte codes are scanned once and never re-joined to embeddings
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$plan")
+    assert("Join".r.findAllIn(plan).length == 1,
+      s"PQ search added joins beyond the query pairing:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"PQ search degraded to sort-merge:\n$plan")
+  }
+
   test("q50 pageRank: per-iteration contribs are a partial-aggregated shuffle on dst") {
     import spark.implicits._
     val docs = (0 until 64).map(_.toLong).toDF("doc_id")
