@@ -545,6 +545,24 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), 5)
         .orderBy("q_id", "rk")
+    }),
+
+    // BPE tokenizer-training core (Sennrich 2016): adjacent-char pair
+    // counts weighted by word frequency — the word-dict aggregate eats
+    // the Zipf repeats map-side, every later stage is vocab-bounded,
+    // top-k plans as a distributed take. Integer counts = hash-exact.
+    "q57_bpe_pairs" -> ((s, dir) => {
+      Corpus.bpePairCounts(t(s, dir, "documents"), 20)
+        .orderBy("rk")
+    }),
+
+    // Context-window chunking: fixed-size token windows with stride
+    // (embedding/RAG prep, the inverse of q42's packing) — pure per-row
+    // array algebra, zero shuffle; md5 chunk hash feeds chunk-level
+    // exact dedup without re-reading text.
+    "q58_chunking" -> ((s, dir) => {
+      Corpus.chunkSequences(t(s, dir, "documents"), size = 24, stride = 16)
+        .orderBy("doc_id", "chunk_idx")
     }))
 
   /** q30's oracle: the full IVF pipeline — seeded k-means (4 Lloyd
@@ -1532,7 +1550,40 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY a.q_id
         |      ORDER BY a.adc_dist, a.n_id)::BIGINT AS rk
         |  FROM adc a JOIN ex USING (q_id, n_id))
-        |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin)
+        |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+    // BPE pair counts: same whitespace words, same per-word adjacent
+    // char pairs weighted by word count, same (cnt desc, pair) rank —
+    // all integer, so the merge-candidate table is engine-exact
+    "q57_bpe_pairs" ->
+      s"""WITH toks AS (SELECT $toksSql AS t FROM documents),
+        |wc AS (SELECT w, count(*)::BIGINT AS cnt
+        |       FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+        |pr AS (SELECT unnest([w[i:i] || ' ' || w[i+1:i+1]
+        |                      for i in range(1, len(w))]) AS pair, cnt
+        |       FROM wc WHERE len(w) >= 2),
+        |agg AS (SELECT pair, sum(cnt)::BIGINT AS pair_cnt
+        |        FROM pr GROUP BY pair),
+        |top AS (SELECT pair, pair_cnt FROM agg
+        |        ORDER BY pair_cnt DESC, pair LIMIT 20)
+        |SELECT pair, pair_cnt,
+        |  row_number() OVER (ORDER BY pair_cnt DESC, pair)::BIGINT AS rk
+        |FROM top ORDER BY rk""".stripMargin,
+
+    // chunking: same stride-24/16 windows over the whitespace tokens,
+    // same md5 of the space-joined window — chunk boundaries and hashes
+    // replay exactly
+    "q58_chunking" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+        |ix AS (SELECT doc_id, t,
+        |         unnest(range(0, (len(t) + 15) // 16)) AS ci
+        |       FROM toks WHERE len(t) >= 1),
+        |ch AS (SELECT doc_id, ci,
+        |         t[ci*16+1 : least(ci*16+24, len(t))] AS c
+        |       FROM ix)
+        |SELECT doc_id, ci::BIGINT AS chunk_idx, (ci*16)::BIGINT AS start_tok,
+        |  len(c)::BIGINT AS n_tok, md5(array_to_string(c, ' ')) AS chunk_hash
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin)
 
   private def q32OracleSql: String = {
     import graft.operators.Multimodal.{defaultBytesPerDoc, headerBytes}

@@ -574,4 +574,76 @@ object Corpus {
         col("r.logit_micro").as("logit_micro"))
       .withColumn("keep", (col("logit_micro") >= 0L).cast("long"))
   }
+
+  /**
+   * BPE merge-candidate counts (Sennrich et al. 2016 §3.2) — the
+   * map-reduce core of byte-pair-encoding tokenizer training: count
+   * adjacent character pairs over the corpus weighted by word frequency;
+   * the top pair is the next merge. One training iteration = this
+   * operator. The offline trainer loops it with the winning merge applied
+   * to the word dictionary — a driver loop over a literal merge table,
+   * deliberately outside the per-iteration operator (the
+   * [[graft.operators.Similarity.ivfKmeans]] Lloyd-loop discipline).
+   *
+   * Shape at 100 TB: the word-frequency aggregate is ONE map-side-
+   * combined shuffle where the combine eats the Zipfian repeats (the
+   * [[repetitionStats]] lesson); every later stage runs on the DISTINCT
+   * word dim — vocab-bounded, not corpus-bounded, which is exactly why
+   * real BPE trainers count over the word dictionary and never re-scan
+   * the raw corpus per iteration. The pair explode fans out ≤ |word|−1
+   * rows per vocab entry, the pair aggregate map-side-combines again,
+   * and the top-k plans as TakeOrderedAndProject (O(k) per partition).
+   *
+   * Output: (pair "a b", pair_cnt, rk ≤ k) ranked by (pair_cnt desc,
+   * pair) — integer counts, hash-exact cross-engine.
+   */
+  def bpePairCounts(docs: DataFrame, k: Int = 20): DataFrame = {
+    val wc = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val pairs = wc.filter(length(col("w")) >= 2)
+      .select(col("cnt"), explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => concat(col("w").substr(i, lit(1)), lit(" "),
+          col("w").substr(i + lit(1), lit(1))))).as("pair"))
+    val top = pairs.groupBy("pair").agg(sum("cnt").as("pair_cnt"))
+      .orderBy(col("pair_cnt").desc, col("pair")).limit(k)
+    // rank rides a k-row frame — the take above already bounded it
+    top.withColumn("rk", row_number().over(
+      Window.orderBy(col("pair_cnt").desc, col("pair"))).cast("long"))
+  }
+
+  /**
+   * Context-window chunking — split each document's token stream into
+   * fixed-size windows with a stride (the embedding-pipeline / long-doc
+   * training prep that [[packSequences]] is the inverse of: packing
+   * joins short docs, chunking splits long ones). `stride < size` gives
+   * overlapping windows (RAG-style), `stride = size` a partition.
+   *
+   * Pure per-row array algebra — zero shuffle, rides the scan; the
+   * chunk hash (md5 of the space-joined window) gives downstream exact
+   * dedup ([[Dedup.exactDedup]]) a 16-byte key so chunk-level dedup
+   * never re-reads text.
+   *
+   * Output: (doc_id, chunk_idx, start_tok, n_tok, chunk_hash), one row
+   * per window, starts at 0, stride, 2·stride, … < n_tokens; empty docs
+   * emit nothing.
+   */
+  def chunkSequences(docs: DataFrame, size: Int = 128,
+      stride: Int = 128): DataFrame = {
+    require(size > 0 && stride > 0, "size and stride must be positive")
+    val toks = TextOps.tokens(col("text"))
+    docs
+      .select(col("doc_id"), toks.as("t"))
+      .filter(array_size(col("t")) >= 1) // `size` param shadows functions.size
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), array_size(col("t")) - 1,
+          lit(stride)),
+        s => slice(col("t"), s + 1, lit(size)))).as(Seq("chunk_idx", "c")))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        (col("chunk_idx") * stride).cast("long").as("start_tok"),
+        array_size(col("c")).cast("long").as("n_tok"),
+        md5(concat_ws(" ", col("c"))).as("chunk_hash"))
+  }
 }

@@ -337,4 +337,62 @@ class CorpusSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"),
       s"classifier inference must ride the scan, no shuffle:\n$plan")
   }
+
+  test("bpePairCounts: pair counts match a driver replay; top-k is a distributed take") {
+    // 'abab' ×3, 'abc' ×2, 'x' ×1 (len-1 words emit no pairs)
+    val docs = Seq(
+      (1L, "abab abc x"),
+      (2L, "abab abc"),
+      (3L, "ABAB x")). // lowercased before splitting
+      toDF("doc_id", "text")
+    val got = Corpus.bpePairCounts(docs, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // driver replay over the word dictionary
+    val words = Seq("abab" -> 3L, "abc" -> 2L, "x" -> 1L)
+    val want = words.filter(_._1.length >= 2).flatMap { case (w, c) =>
+      w.sliding(2).map(p => s"${p(0)} ${p(1)}" -> c) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy { case (p, c) => (-c, p) }
+      .zipWithIndex.map { case ((p, c), i) => (p, c, i + 1L) }
+    assert(got.toSeq == want)
+    // 'a b' counts 2 per 'abab' occurrence: the within-word repeat folds
+    assert(got.find(_._1 == "a b").get._2 == 3L * 2 + 2L)
+    // top-k plans as TakeOrderedAndProject, never a global Sort
+    val plan = Corpus.bpePairCounts(docs, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"BPE top-k is not a distributed take:\n$plan")
+  }
+
+  test("chunkSequences: boundaries, overlap, hashes; partition covers exactly once") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val toks = (1 to 10).map(i => s"t$i")
+    val docs = Seq((1L, toks.mkString(" ")), (2L, "solo"), (3L, "  "))
+      .toDF("doc_id", "text")
+    // size=4 stride=3: starts 0,3,6,9 → lengths 4,4,4,1
+    val got = Corpus.chunkSequences(docs, size = 4, stride = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+      .sortBy(r => (r._1, r._2))
+    val wantDoc1 = Seq(0, 3, 6, 9).zipWithIndex.map { case (s, i) =>
+      val c = toks.slice(s, s + 4)
+      (1L, i.toLong, s.toLong, c.length.toLong, md5hex(c.mkString(" ")))
+    }
+    assert(got.filter(_._1 == 1L).toSeq == wantDoc1)
+    assert(got.filter(_._1 == 2L).toSeq ==
+      Seq((2L, 0L, 0L, 1L, md5hex("solo"))))
+    assert(!got.exists(_._1 == 3L), "whitespace-only doc emits no chunks")
+    // stride = size partitions the stream: chunk lengths sum to n, no overlap
+    val part = Corpus.chunkSequences(docs, size = 4, stride = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(part.filter(_._1 == 1L).map(_._2).sum == 10L)
+    // zero shuffle: chunking rides the scan
+    val plan = Corpus.chunkSequences(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"chunking must be per-row, no shuffle:\n$plan")
+  }
 }
