@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftExpressions
-import graft.operators.{Clean, Corpus, Dedup, Graphs, Similarity, Sketches, TextOps}
+import graft.operators.{Clean, Corpus, Dedup, Graphs, Recrawl, Similarity, Sketches, TextOps}
 
 /**
  * Driver contract (SURVEY.md §7.0): `entry` is the flagship query;
@@ -563,6 +563,17 @@ object SparkEntry {
     "q58_chunking" -> ((s, dir) => {
       Corpus.chunkSequences(t(s, dir, "documents"), size = 24, stride = 16)
         .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // Recrawl scheduling (Cho & Garcia-Molina 2003): lag-compare
+    // successive content hashes per URL, bias-reduced Poisson
+    // change-rate λ̂ = -ln((n-X+.5)/(n+.5)) in micro-nats (ONE ln of ONE
+    // integer division = engine-exact), top-k recrawl batch as a
+    // distributed take. Visit history is the md5-planted fixture.
+    "q59_recrawl" -> ((s, dir) => {
+      Recrawl.changeRatePriorities(
+        Recrawl.syntheticVisits(t(s, dir, "documents"), visits = 8), k = 100)
+        .orderBy("rk")
     }))
 
   /** q30's oracle: the full IVF pipeline — seeded k-means (4 Lloyd
@@ -1583,7 +1594,45 @@ object SparkEntry {
         |       FROM ix)
         |SELECT doc_id, ci::BIGINT AS chunk_idx, (ci*16)::BIGINT AS start_tok,
         |  len(c)::BIGINT AS n_tok, md5(array_to_string(c, ' ')) AS chunk_hash
-        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin)
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // recrawl: replay the planted visit fixture (rate + change draws,
+    // version running sum, body hash), the lag-compare, the micro-nat
+    // λ̂ (ln of the same IEEE integer division), and the (λ̂ desc,
+    // doc_id) rank — integer end-to-end around the single ln
+    "q59_recrawl" ->
+      """WITH v AS (SELECT doc_id, unnest(range(0, 8)) AS r FROM documents),
+        |d AS (SELECT doc_id, r,
+        |        CASE WHEN r = 0 THEN 0
+        |             WHEN ('0x' || substr(md5('chg:' || doc_id::VARCHAR
+        |                    || ':' || r::VARCHAR), 1, 15))::BIGINT % 100
+        |                  < 5 + (('0x' || substr(md5('rate:'
+        |                    || doc_id::VARCHAR), 1, 15))::BIGINT % 60)
+        |             THEN 1 ELSE 0 END AS chg
+        |      FROM v),
+        |ver AS (SELECT doc_id, r,
+        |          sum(chg) OVER (PARTITION BY doc_id ORDER BY r) AS version
+        |        FROM d),
+        |vis AS (SELECT doc_id, r,
+        |          md5('body:' || doc_id::VARCHAR || ':'
+        |              || version::VARCHAR) AS h
+        |        FROM ver),
+        |lagd AS (SELECT doc_id, h,
+        |           lag(h) OVER (PARTITION BY doc_id ORDER BY r) AS p
+        |         FROM vis),
+        |obs AS (SELECT doc_id, count(*)::BIGINT AS n_obs,
+        |          sum((h <> p)::INT)::BIGINT AS n_changed
+        |        FROM lagd WHERE p IS NOT NULL GROUP BY doc_id),
+        |est AS (SELECT doc_id, n_obs, n_changed,
+        |          round(-ln(((n_obs - n_changed)*2 + 1)::DOUBLE
+        |                    / (n_obs*2 + 1)::DOUBLE) * 1e6)::BIGINT
+        |            AS lambda_micro
+        |        FROM obs),
+        |top AS (SELECT * FROM est
+        |        ORDER BY lambda_micro DESC, doc_id LIMIT 100)
+        |SELECT doc_id, n_obs, n_changed, lambda_micro,
+        |  row_number() OVER (ORDER BY lambda_micro DESC, doc_id)::BIGINT AS rk
+        |FROM top ORDER BY rk""".stripMargin)
 
   private def q32OracleSql: String = {
     import graft.operators.Multimodal.{defaultBytesPerDoc, headerBytes}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Recrawl scheduling — the frontier's freshness feedback loop. A
+ * production crawler (the north rule's 10^10-URL steady state) spends
+ * most of its budget RE-visiting: the scheduler must rank known URLs by
+ * how likely they are to have changed since the last visit. This module
+ * implements the classic change-rate model (Cho & Garcia-Molina, "
+ * Estimating Frequency of Change", ACM TOIT 2003): page changes are
+ * Poisson with per-page rate λ; visits observe only CHANGED/UNCHANGED
+ * per interval; the bias-reduced estimator from n observation intervals
+ * with X observed changes is
+ *
+ *   λ̂ = −ln((n − X + 0.5) / (n + 0.5))
+ *
+ * (finite even at X = n, where the naive −ln(1 − X/n) diverges). The
+ * recrawl queue then prioritizes by λ̂ — hottest pages first — which
+ * under a fixed budget maximizes expected freshness against the Poisson
+ * model.
+ *
+ * Determinism discipline: λ̂ is quantized to MICRO units — the only
+ * float op is one ln of one IEEE division of two integers
+ * ((n−X)·2+1) / (n·2+1), then round(×10⁶) to long (the
+ * [[Corpus.lmPerplexity]] / dsir technique), so ranking and hashes are
+ * engine-exact.
+ *
+ * Shape at 100 TB: visit history arrives bucketed by URL (the seen
+ * archive's layout), so the change-detection window's exchange on
+ * doc_id co-locates with the existing clustering in the real pipeline;
+ * the shuffle carries (doc_id, r, 16-byte hash) — O(visits), never
+ * O(frontier). The per-URL aggregate map-side-combines, and the
+ * recrawl-batch pick is a TakeOrderedAndProject (O(k) per partition,
+ * no global sort).
+ */
+object Recrawl {
+
+  /** Deterministic synthetic visit history (the [[Graphs.linkGraph]]
+    * fixture discipline — no external data): `visits` snapshots per doc;
+    * each doc draws a change PROBABILITY once (5..64 %, md5 'rate:'),
+    * then per revisit an independent md5 'chg:' draw decides whether the
+    * content version bumped. `content_hash` is the md5 of the doc id and
+    * its version counter — successive equal hashes ⇔ no change, so the
+    * estimator below recovers exactly the planted draws. */
+  def syntheticVisits(docs: DataFrame, visits: Int = 8): DataFrame = {
+    require(visits >= 2, "need at least one revisit interval")
+    def draw(prefix: String, salt: Column): Column =
+      conv(substring(md5(concat(lit(prefix),
+        col("doc_id").cast("string"), salt)), 1, 15), 16, 10).cast("long")
+    val rate = lit(5) + (draw("rate:", lit("")) % 60).cast("int")
+    val visitW = Window.partitionBy(col("doc_id")).orderBy(col("r"))
+    docs
+      .select(col("doc_id"), explode(sequence(lit(0), lit(visits - 1))).as("r"))
+      .withColumn("changed",
+        when(col("r") === 0, lit(0L))
+          .otherwise((draw("chg:", concat(lit(":"),
+            col("r").cast("string"))) % 100 < rate).cast("long")))
+      .withColumn("version", sum(col("changed")).over(visitW))
+      .select(col("doc_id"), col("r"),
+        md5(concat(lit("body:"), col("doc_id").cast("string"), lit(":"),
+          col("version").cast("string"))).as("content_hash"))
+  }
+
+  /**
+   * Per-URL change-rate estimate and recrawl ranking over a visit
+   * history `(doc_id, r, content_hash)`: lag-compare successive hashes
+   * per URL → (n_obs intervals, n_changed), the bias-reduced Poisson
+   * λ̂ in micro-nats-per-interval, and the top-`k` recrawl batch ranked
+   * by (λ̂ desc, doc_id).
+   */
+  def changeRatePriorities(visitLog: DataFrame, k: Int = 100): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("r"))
+    val obs = visitLog
+      .withColumn("prev", lag(col("content_hash"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_obs"),
+        sum((col("content_hash") =!= col("prev")).cast("long")).as("n_changed"))
+    val est = obs.withColumn("lambda_micro",
+      round(-log(((col("n_obs") - col("n_changed")) * 2 + 1).cast("double") /
+        (col("n_obs") * 2 + 1).cast("double")) * 1e6).cast("long"))
+    val top = est.orderBy(col("lambda_micro").desc, col("doc_id")).limit(k)
+    // rank rides a k-row frame — the take above already bounded it
+    top.withColumn("rk", row_number().over(
+      Window.orderBy(col("lambda_micro").desc, col("doc_id"))).cast("long"))
+  }
+}
