@@ -574,6 +574,21 @@ object SparkEntry {
       Recrawl.changeRatePriorities(
         Recrawl.syntheticVisits(t(s, dir, "documents"), visits = 8), k = 100)
         .orderBy("rk")
+    }),
+
+    // Incremental cross-snapshot dedup: today's slice (md5 'snap:' 20%
+    // split) vs the standing archive — exact tier broadcasts the
+    // INCOMING fingerprint dim so the archive streams map-side (the
+    // PB-vs-TB inversion); near tier is the cross-table PPJoin prefix
+    // filter with complete recall, so the oracle is brute force.
+    "q60_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val snap = conv(substring(md5(concat(lit("snap:"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 5
+      Dedup.incrementalDedup(
+        archive = docs.filter(snap =!= 0),
+        incoming = docs.filter(snap === 0))
+        .orderBy("doc_id")
     }))
 
   /** q30's oracle: the full IVF pipeline — seeded k-means (4 Lloyd
@@ -1632,7 +1647,53 @@ object SparkEntry {
         |        ORDER BY lambda_micro DESC, doc_id LIMIT 100)
         |SELECT doc_id, n_obs, n_changed, lambda_micro,
         |  row_number() OVER (ORDER BY lambda_micro DESC, doc_id)::BIGINT AS rk
-        |FROM top ORDER BY rk""".stripMargin)
+        |FROM top ORDER BY rk""".stripMargin,
+
+    // incremental dedup: same md5 snapshot split, same normalized
+    // fingerprint, brute-force Jaccard over the cross product (the Spark
+    // side's prefix filter has complete recall — blocking NOT replicated;
+    // the size-ratio WHERE is the J >= t ⇒ min >= t·max implication, a
+    // pure speedup), same (J desc, id) best-match rank
+    "q60_incremental_dedup" ->
+      s"""WITH inc AS (SELECT * FROM documents
+        |        WHERE ('0x' || substr(md5('snap:' || doc_id::VARCHAR),
+        |                              1, 15))::BIGINT % 5 = 0),
+        |arc AS (SELECT * FROM documents
+        |        WHERE ('0x' || substr(md5('snap:' || doc_id::VARCHAR),
+        |                              1, 15))::BIGINT % 5 <> 0),
+        |fpi AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)),
+        |                           '\\s+', ' ', 'g')) AS fp FROM inc),
+        |fpa AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)),
+        |                           '\\s+', ' ', 'g')) AS fp FROM arc),
+        |ex AS (SELECT i.doc_id, min(a.doc_id) AS exact_id
+        |       FROM fpi i JOIN fpa a USING (fp) GROUP BY 1),
+        |si AS (SELECT doc_id, $shingleSql AS s
+        |       FROM (SELECT doc_id, $toksSql AS t FROM inc)),
+        |sa AS (SELECT doc_id, $shingleSql AS s
+        |       FROM (SELECT doc_id, $toksSql AS t FROM arc)),
+        |pairs AS (
+        |  SELECT i.doc_id AS i_id, a.doc_id AS a_id,
+        |    round(len(list_intersect(i.s, a.s))::DOUBLE
+        |          / len(list_distinct(i.s || a.s))::DOUBLE, 6) AS j
+        |  FROM si i, sa a
+        |  WHERE len(a.s) >= 0.8 * len(i.s)
+        |    AND len(i.s) >= 0.8 * len(a.s)),
+        |best AS (
+        |  SELECT i_id, a_id AS near_id, j FROM (
+        |    SELECT i_id, a_id, j,
+        |      row_number() OVER (PARTITION BY i_id
+        |        ORDER BY j DESC, a_id) AS rk
+        |    FROM pairs WHERE j >= 0.8) WHERE rk = 1)
+        |SELECT i.doc_id,
+        |  CASE WHEN ex.exact_id IS NOT NULL THEN 'exact'
+        |       WHEN best.near_id IS NOT NULL THEN 'near'
+        |       ELSE 'new' END AS status,
+        |  coalesce(ex.exact_id, best.near_id)::BIGINT AS match_id,
+        |  CASE WHEN ex.exact_id IS NULL THEN best.j END AS jaccard
+        |FROM inc i
+        |LEFT JOIN ex ON ex.doc_id = i.doc_id
+        |LEFT JOIN best ON best.i_id = i.doc_id
+        |ORDER BY i.doc_id""".stripMargin)
 
   private def q32OracleSql: String = {
     import graft.operators.Multimodal.{defaultBytesPerDoc, headerBytes}

@@ -93,21 +93,21 @@ object Dedup {
     val freq = toks.groupBy("h").agg(count(lit(1)).as("f"))
     // per-doc prefix under the (f, h, s) total order (rarest-first)
     val prefixToks = toks
-      .join(freq, Seq("h"))
-      .withColumn("r", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("f"), col("h"), col("s"))))
-      .filter(col("r") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select("doc_id", "sz", "h")
+    .join(freq, Seq("h"))
+    .withColumn("r", row_number().over(
+      Window.partitionBy(col("doc_id")).orderBy(col("f"), col("h"), col("s"))))
+    .filter(col("r") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+    .select("doc_id", "sz", "h")
     // candidates: share ≥1 prefix shingle key, sizes within ratio t (ids
     // only — the ~KB shingle arrays re-attach AFTER pair dedup, in
     // attachAndVerify)
     val l = prefixToks.select(col("h"), col("doc_id").as("a_id"), col("sz").as("a_sz"))
     val r = prefixToks.select(col("h"), col("doc_id").as("b_id"), col("sz").as("b_sz"))
     val candIds = l.join(r, Seq("h"))
-      .filter(col("a_id") < col("b_id") &&
-        col("b_sz") >= lit(threshold) * col("a_sz") &&
-        col("a_sz") >= lit(threshold) * col("b_sz"))
-      .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
+    .filter(col("a_id") < col("b_id") &&
+      col("b_sz") >= lit(threshold) * col("a_sz") &&
+      col("a_sz") >= lit(threshold) * col("b_sz"))
+    .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
     attachAndVerify(candIds, prep.select(col("doc_id"), col("sh")), threshold)
   }
 
@@ -117,10 +117,10 @@ object Dedup {
     if (a.isEmpty && b.isEmpty) return 1.0
     var i = 0; var j = 0; var inter = 0
     while (i < a.length && j < b.length) {
-      val c = a(i).compareTo(b(j))
-      if (c == 0) { inter += 1; i += 1; j += 1 }
-      else if (c < 0) i += 1
-      else j += 1
+    val c = a(i).compareTo(b(j))
+    if (c == 0) { inter += 1; i += 1; j += 1 }
+    else if (c < 0) i += 1
+    else j += 1
     }
     val jac = inter.toDouble / (a.length + b.length - inter).toDouble
     BigDecimal(jac).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -139,15 +139,15 @@ object Dedup {
    * and was a driver OOM beyond that).
    */
   private def attachAndVerify(candIds: DataFrame, sh: DataFrame,
-      threshold: Double): DataFrame = {
+    threshold: Double): DataFrame = {
     val a = sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
     val b = sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b"))
     candIds
-      .join(a, Seq("a_id"))
-      .join(b, Seq("b_id"))
-      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("a_id", "b_id", "jaccard")
+    .join(a, Seq("a_id"))
+    .join(b, Seq("b_id"))
+    .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
+    .filter(col("jaccard") >= threshold)
+    .select("a_id", "b_id", "jaccard")
   }
 
   /** MinHash signature — ONE primitive-array pass over the shingles via
@@ -168,10 +168,10 @@ object Dedup {
   def minhashSignatureHof(sh: Column, numHashes: Int): Column = {
     val sh64 = transform(sh, x => xxhash64(x))
     aggregate(sh64,
-      transform(sequence(lit(0), lit(numHashes - 1)), _ => lit(Long.MaxValue)),
-      (acc, h) => zip_with(acc,
-        transform(sequence(lit(0), lit(numHashes - 1)), i => xxhash64(h, i)),
-        (a, x) => least(a, x)))
+    transform(sequence(lit(0), lit(numHashes - 1)), _ => lit(Long.MaxValue)),
+    (acc, h) => zip_with(acc,
+      transform(sequence(lit(0), lit(numHashes - 1)), i => xxhash64(h, i)),
+      (a, x) => least(a, x)))
   }
 
   /**
@@ -182,25 +182,25 @@ object Dedup {
    * Jaccard-threshold pairs.
    */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
-      bands: Int = 32, rows: Int = 4): DataFrame = {
+    bands: Int = 32, rows: Int = 4): DataFrame = {
     graft.functions.GraftExpressions.register(docs.sparkSession)
     val numHashes = bands * rows
     val prep = docs
-      .select(col("doc_id"), shingleArr(col("text"), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .persist() // scanned 3x (banding + both array re-attach joins)
+    .select(col("doc_id"), shingleArr(col("text"), n).as("sh"))
+    .filter(size(col("sh")) > 0)
+    .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    .persist() // scanned 3x (banding + both array re-attach joins)
     // bucket join on ids only (see ngramJaccardPairs — arrays stay out of
     // the candidate shuffle), then exact-Jaccard verify
     val banded = prep.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b)))
-        .as(Seq("band_idx", "band_hash")))
+    posexplode(transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b)))
+      .as(Seq("band_idx", "band_hash")))
     val l = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("a_id"))
     val r = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("b_id"))
     val candIds = l.join(r, Seq("band_idx", "band_hash"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
+    .filter(col("a_id") < col("b_id"))
+    .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
     attachAndVerify(candIds, prep.select(col("doc_id"), col("sh")), threshold)
   }
 
@@ -229,16 +229,16 @@ object Dedup {
   def simhashHof(textCol: Column): Column = {
     val hs = transform(TextOps.tokens(textCol), t => md5Hash60(t))
     val signs = aggregate(
-      hs,
-      transform(sequence(lit(0), lit(59)), _ => lit(0L)),
-      (acc, h) => zip_with(acc,
-        transform(sequence(lit(0), lit(59)),
-          j => call_function("shiftright", h, j).bitwiseAND(lit(1L)) * 2 - 1),
-        (a, b) => a + b))
+    hs,
+    transform(sequence(lit(0), lit(59)), _ => lit(0L)),
+    (acc, h) => zip_with(acc,
+      transform(sequence(lit(0), lit(59)),
+        j => call_function("shiftright", h, j).bitwiseAND(lit(1L)) * 2 - 1),
+      (a, b) => a + b))
     aggregate(
-      zip_with(signs, sequence(lit(0), lit(59)),
-        (s, j) => when(s > 0, call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(lit(0L))),
-      lit(0L), (a, x) => a.bitwiseOR(x))
+    zip_with(signs, sequence(lit(0), lit(59)),
+      (s, j) => when(s > 0, call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(lit(0L))),
+    lit(0L), (a, x) => a.bitwiseOR(x))
   }
 
   /**
@@ -253,26 +253,26 @@ object Dedup {
     graft.functions.GraftExpressions.register(docs.sparkSession)
     val prep = docs.select(col("doc_id"), simhash(col("text")).as("sh64"))
     val blocked = prep.select(col("doc_id"), col("sh64"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        b => call_function("shiftright", col("sh64"), (b * 15).cast("int")).bitwiseAND(lit(0x7fffL))))
-        .as(Seq("block_idx", "block_val")))
+    posexplode(transform(sequence(lit(0), lit(3)),
+      b => call_function("shiftright", col("sh64"), (b * 15).cast("int")).bitwiseAND(lit(0x7fffL))))
+      .as(Seq("block_idx", "block_val")))
     val l = blocked.select(col("block_idx"), col("block_val"),
-      col("doc_id").as("a_id"), col("sh64").as("a_sh"))
+    col("doc_id").as("a_id"), col("sh64").as("a_sh"))
     val r = blocked.select(col("block_idx"), col("block_val"),
-      col("doc_id").as("b_id"), col("sh64").as("b_sh"))
+    col("doc_id").as("b_id"), col("sh64").as("b_sh"))
     l.join(r, Seq("block_idx", "block_val"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "a_sh", "b_sh").dropDuplicates("a_id", "b_id")
-      .withColumn("hamming", bit_count(col("a_sh").bitwiseXOR(col("b_sh"))))
-      .filter(col("hamming") <= maxHamming)
-      .select("a_id", "b_id", "hamming")
+    .filter(col("a_id") < col("b_id"))
+    .select("a_id", "b_id", "a_sh", "b_sh").dropDuplicates("a_id", "b_id")
+    .withColumn("hamming", bit_count(col("a_sh").bitwiseXOR(col("b_sh"))))
+    .filter(col("hamming") <= maxHamming)
+    .select("a_id", "b_id", "hamming")
   }
 
   /** Survivor view after near-dup clustering: drop the higher doc_id of
     * every verified pair (greedy, deterministic). */
   def survivors(docs: DataFrame, pairs: DataFrame): DataFrame =
     docs.join(pairs.select(col("b_id").as("doc_id")).distinct(),
-      Seq("doc_id"), "left_anti")
+    Seq("doc_id"), "left_anti")
 
   /**
    * Connected components over an undirected pair set `(a_id, b_id)` —
@@ -308,25 +308,25 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
     val p0 = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
     def symmetric(p: DataFrame): DataFrame =
-      p.union(p.select(col("v").as("u"), col("u").as("v")))
-        .filter(col("u") =!= col("v")).distinct()
+    p.union(p.select(col("v").as("u"), col("u").as("v")))
+      .filter(col("u") =!= col("v")).distinct()
     // large-star: every node v ∈ Γ(u) with v > u re-attaches to
     // m(u) = min(Γ(u) ∪ {u}). Input must be the symmetric closure.
     def largeStar(e: DataFrame): DataFrame = {
-      val mins = e.groupBy("u").agg(min("v").as("mn"))
-        .select(col("u"), least(col("mn"), col("u")).as("m"))
-      e.filter(col("v") > col("u")).join(mins, Seq("u"))
-        .select(col("v").as("u"), col("m").as("v")) // m < v always: no loops
+    val mins = e.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u"), least(col("mn"), col("u")).as("m"))
+    e.filter(col("v") > col("u")).join(mins, Seq("u"))
+      .select(col("v").as("u"), col("m").as("v")) // m < v always: no loops
     }
     // small-star: each undirected edge assigned to its LARGER endpoint u;
     // u and its smaller neighbors all re-attach to m(u) = min of them.
     def smallStar(e: DataFrame): DataFrame = {
-      val el = e.filter(col("v") < col("u"))
-      val mins = el.groupBy("u").agg(min("v").as("m"))
-      el.join(mins, Seq("u"))
-        .filter(col("v") =!= col("m"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .union(mins.select(col("u"), col("m").as("v")))
+    val el = e.filter(col("v") < col("u"))
+    val mins = el.groupBy("u").agg(min("v").as("m"))
+    el.join(mins, Seq("u"))
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(mins.select(col("u"), col("m").as("v")))
     }
     // one action per iteration: the (count, hash-xor) convergence checksum
     // rides the eager checkpoint's own job as an `observe` metric instead
@@ -334,35 +334,35 @@ object Dedup {
     // order-independent over the distinct edge set and immune to
     // ANSI-mode sum overflow (xxhash64 spans the full long range).
     def checkpointed(df: DataFrame): (DataFrame, (Long, Long)) = {
-      val obs = org.apache.spark.sql.Observation()
-      val cp = df.observe(obs, count(lit(1)).as("cnt"),
-        call_function("bit_xor", xxhash64(col("u"), col("v"))).as("xr"))
-        .localCheckpoint(true)
-      val m = obs.get
-      val xr = m("xr") match { case null => 0L; case x => x.asInstanceOf[Long] }
-      (cp, (m("cnt").asInstanceOf[Long], xr))
+    val obs = org.apache.spark.sql.Observation()
+    val cp = df.observe(obs, count(lit(1)).as("cnt"),
+      call_function("bit_xor", xxhash64(col("u"), col("v"))).as("xr"))
+      .localCheckpoint(true)
+    val m = obs.get
+    val xr = m("xr") match { case null => 0L; case x => x.asInstanceOf[Long] }
+    (cp, (m("cnt").asInstanceOf[Long], xr))
     }
     var (e, sig) = checkpointed(symmetric(p0))
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {
-      // largeStar's output is already in small-star's canonical form —
-      // every row (u, v) has v < u strictly (v = m ≤ old-u < old-v, no
-      // self-loops), each undirected edge exactly once (up to duplicate
-      // rows, which min-aggregates ignore and the outer symmetric's
-      // distinct removes) — so the symmetric closure between the two star
-      // ops (union + distinct: one full shuffle of 2|E| rows per
-      // iteration) added nothing smallStar's own v<u filter didn't
-      // immediately discard. Only the OUTER closure is load-bearing: the
-      // next largeStar needs full neighborhoods.
-      val (next, nextSig) = checkpointed(symmetric(smallStar(largeStar(e))))
-      if (nextSig == sig) converged = true
-      else { e = next; sig = nextSig }
-      it += 1
+    // largeStar's output is already in small-star's canonical form —
+    // every row (u, v) has v < u strictly (v = m ≤ old-u < old-v, no
+    // self-loops), each undirected edge exactly once (up to duplicate
+    // rows, which min-aggregates ignore and the outer symmetric's
+    // distinct removes) — so the symmetric closure between the two star
+    // ops (union + distinct: one full shuffle of 2|E| rows per
+    // iteration) added nothing smallStar's own v<u filter didn't
+    // immediately discard. Only the OUTER closure is load-bearing: the
+    // next largeStar needs full neighborhoods.
+    val (next, nextSig) = checkpointed(symmetric(smallStar(largeStar(e))))
+    if (nextSig == sig) converged = true
+    else { e = next; sig = nextSig }
+    it += 1
     }
     // fixpoint is a star forest: every node's min neighbor IS its root
     val labels = e.groupBy("u").agg(min("v").as("mn"))
-      .select(col("u"), least(col("mn"), col("u")).as("label"))
+    .select(col("u"), least(col("mn"), col("u")).as("label"))
     labels
   }
 
@@ -399,49 +399,49 @@ object Dedup {
     * allocating nodes per window. */
   def windowHashesSpec(tokens: Column, w: Int): Column =
     element_at(transform(array(tokens), tk =>
-      // guard BEFORE sequence(): with stop < start Spark infers a
-      // DESCENDING step, it does not return empty
-      when(size(tk) >= w,
-        transform(sequence(lit(1), size(tk) - (w - 1)), s =>
-          conv(substring(md5(concat(lit("sub:"),
-            concat_ws(" ", slice(tk, s, lit(w))))), 1, 15), 16, 10)
-            .cast("long")))
-        .otherwise(expr("array()").cast("array<long>"))), 1)
+    // guard BEFORE sequence(): with stop < start Spark infers a
+    // DESCENDING step, it does not return empty
+    when(size(tk) >= w,
+      transform(sequence(lit(1), size(tk) - (w - 1)), s =>
+        conv(substring(md5(concat(lit("sub:"),
+          concat_ws(" ", slice(tk, s, lit(w))))), 1, 15), 16, 10)
+          .cast("long")))
+      .otherwise(expr("array()").cast("array<long>"))), 1)
 
   def substringDupSpans(docs: DataFrame, w: Int): DataFrame = {
     graft.functions.GraftExpressions.register(docs.sparkSession)
     val wins = docs
-      .select(col("doc_id"), graft.functions.GraftExpressions
-        .md5_window_hashes(TextOps.tokens(col("text")), w).as("whs"))
-      .filter(size(col("whs")) > 0)
-      .select(col("doc_id"), posexplode(col("whs")).as(Seq("s0", "wh")))
-      .select(col("doc_id"), (col("s0") + 1).as("s"), col("wh"))
+    .select(col("doc_id"), graft.functions.GraftExpressions
+      .md5_window_hashes(TextOps.tokens(col("text")), w).as("whs"))
+    .filter(size(col("whs")) > 0)
+    .select(col("doc_id"), posexplode(col("whs")).as(Seq("s0", "wh")))
+    .select(col("doc_id"), (col("s0") + 1).as("s"), col("wh"))
     val dup = wins.groupBy("wh")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
-      .select("wh")
+    .agg(countDistinct(col("doc_id")).as("nd"))
+    .filter(col("nd") >= 2)
+    .select("wh")
     wins.join(dup, Seq("wh"))
-      .groupBy("doc_id")
-      .agg(collect_set(col("s")).as("starts"))
-      // interval arithmetic over the SORTED starts — never materialize the
-      // covered-position set (that form was O(dup_tokens²) per row via the
-      // per-element array_contains: ~10⁸ ops for one heavily-duplicated
-      // 10k-token doc). Each start covers [s, s+w-1]; for consecutive
-      // sorted starts with gap g = sᵢ − sᵢ₋₁: coverage stays contiguous
-      // iff g ≤ w (new span iff g > w), and sᵢ adds min(g, w) fresh
-      // covered tokens. So one sort + one zip_with, O(L log L) per row.
-      .withColumn("ss", array_sort(col("starts")))
-      .withColumn("gaps", zip_with(
-        slice(col("ss"), lit(2), size(col("ss")) - 1),
-        slice(col("ss"), lit(1), size(col("ss")) - 1),
-        (a, b) => a - b))
-      .select(col("doc_id"),
-        size(col("starts")).cast("long").as("n_dup_wins"),
-        (lit(w) + aggregate(col("gaps"), lit(0L),
-          (acc, g) => acc + least(g, lit(w)).cast("long")))
-          .cast("long").as("dup_tokens"),
-        (lit(1) + size(filter(col("gaps"), g => g > w)))
-          .cast("long").as("n_spans"))
+    .groupBy("doc_id")
+    .agg(collect_set(col("s")).as("starts"))
+    // interval arithmetic over the SORTED starts — never materialize the
+    // covered-position set (that form was O(dup_tokens²) per row via the
+    // per-element array_contains: ~10⁸ ops for one heavily-duplicated
+    // 10k-token doc). Each start covers [s, s+w-1]; for consecutive
+    // sorted starts with gap g = sᵢ − sᵢ₋₁: coverage stays contiguous
+    // iff g ≤ w (new span iff g > w), and sᵢ adds min(g, w) fresh
+    // covered tokens. So one sort + one zip_with, O(L log L) per row.
+    .withColumn("ss", array_sort(col("starts")))
+    .withColumn("gaps", zip_with(
+      slice(col("ss"), lit(2), size(col("ss")) - 1),
+      slice(col("ss"), lit(1), size(col("ss")) - 1),
+      (a, b) => a - b))
+    .select(col("doc_id"),
+      size(col("starts")).cast("long").as("n_dup_wins"),
+      (lit(w) + aggregate(col("gaps"), lit(0L),
+        (acc, g) => acc + least(g, lit(w)).cast("long")))
+        .cast("long").as("dup_tokens"),
+      (lit(1) + size(filter(col("gaps"), g => g > w)))
+        .cast("long").as("n_spans"))
   }
 
   /** Dedup groups for a corpus: every doc labeled with its near-dup
@@ -453,10 +453,10 @@ object Dedup {
   def dedupGroups(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val cc = connectedComponents(pairs)
     docs.select(col("doc_id"))
-      .join(cc.select(col("u").as("doc_id"), col("label")), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("label"), col("doc_id")).as("group_id"))
-      .withColumn("keep", col("doc_id") === col("group_id"))
+    .join(cc.select(col("u").as("doc_id"), col("label")), Seq("doc_id"), "left")
+    .select(col("doc_id"),
+      coalesce(col("label"), col("doc_id")).as("group_id"))
+    .withColumn("keep", col("doc_id") === col("group_id"))
   }
 
   /** Canonical-document selection: within each near-dup group keep the
@@ -481,19 +481,103 @@ object Dedup {
     */
   def canonicalDocs(docs: DataFrame, groups: DataFrame): DataFrame = {
     val scored = docs.select(col("doc_id"),
-      round(graft.operators.TextOps.qualityScore(col("text")) * lit(1e6))
-        .cast("long").as("q_micro"))
+    round(graft.operators.TextOps.qualityScore(col("text")) * lit(1e6))
+      .cast("long").as("q_micro"))
     val member = groups.select(col("doc_id"), col("group_id")).join(scored, "doc_id")
     // min(struct(-q, id)): max quality, ties → min doc_id — and doc_id may
     // be any ordered type (string ids work), only q_micro gets negated
     val best = member.groupBy("group_id")
-      .agg(min(struct((-col("q_micro")).as("neg_q"), col("doc_id"))).as("b"),
-        count(lit(1)).as("n_members"))
-      .select(col("group_id"), col("b.doc_id").as("canon_doc_id"),
-        col("n_members"))
+    .agg(min(struct((-col("q_micro")).as("neg_q"), col("doc_id"))).as("b"),
+      count(lit(1)).as("n_members"))
+    .select(col("group_id"), col("b.doc_id").as("canon_doc_id"),
+      col("n_members"))
     member.join(best, "group_id")
-      .select(col("doc_id"), col("group_id"), col("q_micro"),
-        col("canon_doc_id"), col("n_members"),
-        (col("doc_id") === col("canon_doc_id")).as("canon"))
+    .select(col("doc_id"), col("group_id"), col("q_micro"),
+      col("canon_doc_id"), col("n_members"),
+      (col("doc_id") === col("canon_doc_id")).as("canon"))
+  }
+
+  /**
+   * Incremental cross-snapshot dedup — the shape a CONTINUOUS pipeline
+   * needs that within-corpus dedup ([[exactDedup]] / [[ngramJaccardPairs]])
+   * doesn't cover: classify each document of an incoming slice (today's
+   * crawl) against the standing archive as
+   *
+   *  - `exact` — an archive doc has the identical normalized-text
+   *    fingerprint (match_id = the smallest such archive id);
+   *  - `near`  — else some archive doc has shingle-Jaccard ≥ `threshold`
+   *    (match_id = the best match: highest Jaccard, ties → smallest id);
+   *  - `new`   — else; the rows a dedup pipeline would actually ingest.
+   *
+   * Scale inversion is the whole point: the archive dwarfs the incoming
+   * slice (PB vs TB), so the exact tier BROADCASTS the incoming
+   * fingerprint dim and the archive STREAMS through a map-side join —
+   * the 100 TB side is never shuffled. The near tier is the
+   * [[ngramJaccardPairs]] PPJoin prefix filter generalized across two
+   * tables (one shared rarest-first order over the union vocabulary;
+   * the prefix property is per-PAIR, so cross-table recall stays
+   * COMPLETE — the DuckDB oracle is pure brute force, no blocking
+   * replicated), with candidates fanning out from the slim incoming
+   * prefix set and exact-Jaccard verification exactly as in
+   * [[Dedup.attachAndVerify]].
+   *
+   * Output per incoming doc: (doc_id, status, match_id?, jaccard?) —
+   * jaccard only for `near` (an `exact` match is J = 1 by construction).
+   */
+  def incrementalDedup(archive: DataFrame, incoming: DataFrame, n: Int = 3,
+    threshold: Double = 0.8): DataFrame = {
+    graft.functions.GraftExpressions.register(archive.sparkSession)
+    val fpOf = TextOps.normFingerprint(col("text"))
+    val fpA = archive.select(col("doc_id").as("m_id"), fpOf.as("fp"))
+    val fpI = incoming.select(col("doc_id"), fpOf.as("fp"))
+    val exact = fpA.join(broadcast(fpI), Seq("fp"))
+      .groupBy("doc_id").agg(min(col("m_id")).as("exact_id"))
+    // near tier: shared global shingle order over the union vocabulary
+    val tagged = archive.select(lit("a").as("side"), col("doc_id"),
+        shingleArr(col("text"), n).as("sh"))
+      .unionByName(incoming.select(lit("i").as("side"), col("doc_id"),
+        shingleArr(col("text"), n).as("sh")))
+      .persist() // scanned 3x (freq/prefix + both verify re-attaches)
+    val toks = tagged.select(col("side"), col("doc_id"),
+        size(col("sh")).as("sz"), explode(col("sh")).as("s"))
+      .withColumn("h", xxhash64(col("s")))
+    val freq = toks.groupBy("h").agg(count(lit(1)).as("f"))
+    val prefixToks = toks.join(freq, Seq("h"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("side"), col("doc_id"))
+          .orderBy(col("f"), col("h"), col("s"))))
+      .filter(col("r") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select("side", "doc_id", "sz", "h")
+    val l = prefixToks.filter(col("side") === "i")
+      .select(col("h"), col("doc_id").as("i_id"), col("sz").as("i_sz"))
+    val r = prefixToks.filter(col("side") === "a")
+      .select(col("h"), col("doc_id").as("a_id"), col("sz").as("a_sz"))
+    val candIds = l.join(r, Seq("h"))
+      .filter(col("a_sz") >= lit(threshold) * col("i_sz") &&
+        col("i_sz") >= lit(threshold) * col("a_sz"))
+      .select("i_id", "a_id").dropDuplicates("i_id", "a_id")
+    val iArr = tagged.filter(col("side") === "i")
+      .select(col("doc_id").as("i_id"), col("sh").as("sh_i"))
+    val aArr = tagged.filter(col("side") === "a")
+      .select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
+    val bestNear = candIds
+      .join(iArr, Seq("i_id")).join(aArr, Seq("a_id"))
+      .withColumn("jaccard", round(jaccard(col("sh_i"), col("sh_a")), 6))
+      .filter(col("jaccard") >= threshold)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("i_id"))
+          .orderBy(col("jaccard").desc, col("a_id"))))
+      .filter(col("rk") === 1)
+      .select(col("i_id").as("doc_id"), col("a_id").as("near_id"),
+        col("jaccard"))
+    incoming.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(bestNear, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_id").isNotNull, lit("exact"))
+          .when(col("near_id").isNotNull, lit("near"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("exact_id"), col("near_id")).as("match_id"),
+        when(col("exact_id").isNull, col("jaccard")).as("jaccard"))
   }
 }

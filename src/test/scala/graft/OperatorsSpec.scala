@@ -501,4 +501,38 @@ class OperatorsSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getString(3)).toMap
     assert(tg == Map("x" -> "x", "y" -> "x"))
   }
+
+  test("incrementalDedup: planted exact/near/new classify correctly; exact wins precedence") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val archive = Seq(
+      (10L, base),                      // exact+near anchor
+      (11L, s"$base " + base),          // another archive doc
+      (12L, "completely different archive content about ships and sails"),
+      (13L, base)                       // second exact anchor — min id must win
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (100L, base),                       // exact dup of 10 AND 13 → exact, match 10
+      (101L, s"THE  quick brown fox jumps over the lazy dog again and again "), // normalizes to base → exact
+      (102L, s"$base also"),              // near dup (high shingle overlap)
+      (103L, "totally novel incoming text with fresh tokens zebra")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(archive, incoming, n = 3, threshold = 0.5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3)))).toMap
+    assert(got(100L)._1 == "exact" && got(100L)._2 == 10L && got(100L)._3 == -1.0,
+      s"exact tier must pick the MIN archive id with null jaccard: ${got(100L)}")
+    assert(got(101L)._1 == "exact" && got(101L)._2 == 10L,
+      "whitespace/case differences normalize into the same fingerprint")
+    assert(got(102L)._1 == "near" && got(102L)._2 == 10L && got(102L)._3 >= 0.5,
+      s"near tier must report the best archive match + jaccard: ${got(102L)}")
+    assert(got(103L) == (("new", -1L, -1.0)))
+    // scale shape: the incoming fingerprint dim broadcasts (the archive
+    // streams); nothing broadcasts the archive side
+    val plan = Dedup.incrementalDedup(archive, incoming)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"exact tier lost its map-side broadcast join:\n$plan")
+  }
 }
