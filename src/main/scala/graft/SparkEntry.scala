@@ -589,6 +589,15 @@ object SparkEntry {
         archive = docs.filter(snap =!= 0),
         incoming = docs.filter(snap === 0))
         .orderBy("doc_id")
+    }),
+
+    // Mixture materialization: q49's √-flattened domain weights turned
+    // into an actual k-doc draw — integer largest-remainder quotas on
+    // the domain dim, seeded md5 rank fills each quota after ONE
+    // exchange on the domain key.
+    "q61_mixture_sample" -> ((s, dir) => {
+      Corpus.mixtureSample(t(s, dir, "documents"), k = 100)
+        .orderBy("domain", "rk")
     }))
 
   /** q30's oracle: the full IVF pipeline — seeded k-means (4 Lloyd
@@ -1693,7 +1702,38 @@ object SparkEntry {
         |FROM inc i
         |LEFT JOIN ex ON ex.doc_id = i.doc_id
         |LEFT JOIN best ON best.i_id = i.doc_id
-        |ORDER BY i.doc_id""".stripMargin)
+        |ORDER BY i.doc_id""".stripMargin,
+
+    // mixture sample: same q49 weight replay, same integer
+    // largest-remainder apportionment (ties → domain order), same seeded
+    // md5 per-domain rank — integer end-to-end around q49's two IEEE ops
+    "q61_mixture_sample" ->
+      s"""WITH toks AS (SELECT doc_id, source, $toksSql AS t FROM documents),
+        |d AS (SELECT source AS domain, count(*)::BIGINT AS n_docs,
+        |      sum(len(t))::BIGINT AS tokens FROM toks GROUP BY source),
+        |tt AS (SELECT *, sum(tokens) OVER () AS total FROM d),
+        |s AS (SELECT domain, n_docs,
+        |    CAST(round(sqrt(tokens::DOUBLE / total) * 1e6) AS BIGINT) AS s_micro
+        |  FROM tt),
+        |wts AS (SELECT domain, n_docs,
+        |    CAST(round(s_micro * 1e6 / sum(s_micro) OVER ()) AS BIGINT) AS w
+        |  FROM s),
+        |alloc AS (SELECT domain, n_docs, (w * 100) // 1000000 AS base,
+        |                 (w * 100) % 1000000 AS rem FROM wts),
+        |defi AS (SELECT *, 100 - sum(base) OVER () AS deficit,
+        |           row_number() OVER (ORDER BY rem DESC, domain) AS er
+        |         FROM alloc),
+        |quota AS (SELECT domain,
+        |    least(base + CASE WHEN er <= deficit THEN 1 ELSE 0 END,
+        |          n_docs) AS quota
+        |  FROM defi),
+        |drawn AS (SELECT doc.doc_id, doc.source AS domain, q.quota,
+        |    row_number() OVER (PARTITION BY doc.source
+        |      ORDER BY md5('mix:42:' || doc.doc_id::VARCHAR), doc.doc_id) AS rk
+        |  FROM documents doc JOIN quota q ON q.domain = doc.source
+        |  WHERE q.quota > 0)
+        |SELECT doc_id, domain, rk::BIGINT AS rk, quota::BIGINT AS quota
+        |FROM drawn WHERE rk <= quota ORDER BY domain, rk""".stripMargin)
 
   private def q32OracleSql: String = {
     import graft.operators.Multimodal.{defaultBytesPerDoc, headerBytes}

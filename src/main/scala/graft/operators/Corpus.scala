@@ -576,6 +576,51 @@ object Corpus {
   }
 
   /**
+   * Materialize the [[domainMixture]] training mix — the sampling stage
+   * that turns the √-flattened domain WEIGHTS into an actual k-document
+   * corpus draw: per-domain quotas by largest-remainder apportionment
+   * (quota_d = ⌊w_d·k/10⁶⌋ plus one extra for the largest remainders
+   * until Σ = k — the exact integer method, no float accumulation),
+   * capped at the domain's size, then the [[stratifiedSample]] seeded
+   * md5 draw fills each quota.
+   *
+   * Shape at 100 TB: the corpus is touched twice — once by
+   * [[domainMixture]]'s map-side-combined aggregate, once by the draw
+   * (rank inside each domain's partitions after one exchange on the
+   * domain key). Apportionment runs entirely on the domain DIM
+   * (10³-10⁵ rows), and the quota dim re-joins the corpus broadcast.
+   * A quota larger than its domain undersamples (documented, capped) —
+   * redistribution would make quota_d depend on every other domain's
+   * size, breaking per-domain composability.
+   *
+   * Output per sampled doc: (doc_id, domain, rk ≤ quota, quota).
+   */
+  def mixtureSample(docs: DataFrame, k: Int, domain: String = "source",
+      seed: Long = 42L): DataFrame = {
+    require(k > 0, "k must be positive")
+    val all = Window.partitionBy() // dim-sized (domainMixture scaladoc)
+    val alloc = domainMixture(docs, domain)
+      .select(col("domain"), col("n_docs"),
+        expr(s"(weight_micro * $k) div 1000000").as("base"),
+        ((col("weight_micro") * k) % 1000000L).as("rem"))
+      .withColumn("deficit", lit(k) - sum(col("base")).over(all))
+      .withColumn("er", row_number().over(
+        Window.orderBy(col("rem").desc, col("domain"))))
+    val quota = alloc.select(col("domain"),
+      least(col("base") + when(col("er") <= col("deficit"), 1L)
+        .otherwise(0L), col("n_docs")).as("quota"))
+      .filter(col("quota") > 0)
+    val key = md5(concat(lit(s"mix:$seed:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("domain")).orderBy(col("draw"), col("doc_id"))
+    docs.select(col(domain).as("domain"), col("doc_id"), key.as("draw"))
+      .join(broadcast(quota), Seq("domain")) // domain dim, genuinely bounded
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("quota"))
+      .select(col("doc_id"), col("domain"), col("rk").cast("long").as("rk"),
+        col("quota"))
+  }
+
+  /**
    * BPE merge-candidate counts (Sennrich et al. 2016 §3.2) — the
    * map-reduce core of byte-pair-encoding tokenizer training: count
    * adjacent character pairs over the corpus weighted by word frequency;

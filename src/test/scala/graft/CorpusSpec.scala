@@ -338,6 +338,54 @@ class CorpusSpec extends AnyFunSuite {
       s"classifier inference must ride the scan, no shuffle:\n$plan")
   }
 
+  test("mixtureSample: largest-remainder quotas sum to k, caps at domain size, draw replays") {
+    def textOf(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    // heavy (6400 tokens), light (100), tiny 2-doc domain — shares force
+    // fractional quotas so the remainder apportionment actually fires
+    val rows = (1L to 8L).map(i => (i, textOf(800), "heavy")) ++
+      (11L to 15L).map(i => (i, textOf(20), "light")) ++
+      Seq((21L, textOf(50), "tiny"), (22L, textOf(50), "tiny"))
+    val docs = rows.toDF("doc_id", "text", "source")
+    val k = 7
+    val got = Corpus.mixtureSample(docs, k)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // driver replay of weights → quotas
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val toks = Map("heavy" -> 8L * 800, "light" -> 5L * 20, "tiny" -> 2L * 50)
+    val nDocs = Map("heavy" -> 8L, "light" -> 5L, "tiny" -> 2L)
+    val total = toks.values.sum.toDouble
+    def rnd(x: Double): Long = BigDecimal(x)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val sMicro = toks.view.mapValues(t => rnd(math.sqrt(t / total) * 1e6)).toMap
+    val sSum = sMicro.values.sum
+    val wMicro = sMicro.view.mapValues(s => rnd(s.toDouble * 1e6 / sSum)).toMap
+    val base = wMicro.view.mapValues(w => w * k / 1000000L).toMap
+    val rem = wMicro.view.mapValues(w => w * k % 1000000L).toMap
+    val deficit = k - base.values.sum
+    val order = rem.toSeq.sortBy { case (d, r) => (-r, d) }.map(_._1)
+    val quota = order.zipWithIndex.map { case (d, i) =>
+      d -> math.min(base(d) + (if (i < deficit) 1L else 0L), nDocs(d))
+    }.toMap
+    val gotQuota = got.map(r => r._2 -> r._4).toMap
+    assert(gotQuota == quota.filter(_._2 > 0),
+      s"quota mismatch: got $gotQuota want $quota")
+    // every domain fills its quota exactly (none is undersized here
+    // unless capped), rk is 1..quota
+    for ((d, q) <- quota if q > 0)
+      assert(got.filter(_._2 == d).map(_._3).sorted.toSeq == (1L to q),
+        s"domain $d did not fill ranks 1..$q")
+    // the draw itself replays: per domain, quota smallest (md5, id)
+    for ((d, q) <- quota if q > 0) {
+      val ids = rows.collect { case (id, _, `d`) => id }
+      val want = ids.sortBy(id => (md5hex(s"mix:42:$id"), id)).take(q.toInt)
+      assert(got.filter(_._2 == d).sortBy(_._3).map(_._1).toSeq == want)
+    }
+    // total draw = k unless capping bit
+    assert(got.length == quota.values.sum)
+  }
+
   test("bpePairCounts: pair counts match a driver replay; top-k is a distributed take") {
     // 'abab' ×3, 'abc' ×2, 'x' ×1 (len-1 words emit no pairs)
     val docs = Seq(
