@@ -523,14 +523,22 @@ object Dedup {
    *
    * Output per incoming doc: (doc_id, status, match_id?, jaccard?) —
    * jaccard only for `near` (an `exact` match is J = 1 by construction).
+   *
+   * `broadcastIncoming` size-gates the exact tier's hint (the
+   * [[Corpus]] maybeBroadcast lesson): a DAY'S slice broadcasts, but an
+   * incoming side of 10⁹ docs is tens of GB of fingerprints — pass
+   * `false` and the exact tier keys both sides through a normal
+   * exchange on the 16-byte fingerprint (AQE still re-plans it
+   * broadcast at runtime if the slice turns out tiny).
    */
   def incrementalDedup(archive: DataFrame, incoming: DataFrame, n: Int = 3,
-    threshold: Double = 0.8): DataFrame = {
+    threshold: Double = 0.8, broadcastIncoming: Boolean = true): DataFrame = {
     graft.functions.GraftExpressions.register(archive.sparkSession)
     val fpOf = TextOps.normFingerprint(col("text"))
     val fpA = archive.select(col("doc_id").as("m_id"), fpOf.as("fp"))
-    val fpI = incoming.select(col("doc_id"), fpOf.as("fp"))
-    val exact = fpA.join(broadcast(fpI), Seq("fp"))
+    val fpI0 = incoming.select(col("doc_id"), fpOf.as("fp"))
+    val fpI = if (broadcastIncoming) broadcast(fpI0) else fpI0
+    val exact = fpA.join(fpI, Seq("fp"))
       .groupBy("doc_id").agg(min(col("m_id")).as("exact_id"))
     // near tier: shared global shingle order over the union vocabulary
     val tagged = archive.select(lit("a").as("side"), col("doc_id"),

@@ -534,5 +534,15 @@ class OperatorsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"exact tier lost its map-side broadcast join:\n$plan")
+    // size-gated fallback: broadcastIncoming=false returns identical
+    // rows through a shuffled exact tier (the Corpus maybeBroadcast
+    // discipline — a 10^9-doc slice must not be forced into a broadcast)
+    val gotShuffled = Dedup.incrementalDedup(archive, incoming, n = 3,
+        threshold = 0.5, broadcastIncoming = false)
+      .collect().map(_.toString).sorted.toSeq
+    val gotHinted = Dedup.incrementalDedup(archive, incoming, n = 3,
+        threshold = 0.5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(gotShuffled == gotHinted)
   }
 }
