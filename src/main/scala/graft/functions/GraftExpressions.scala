@@ -417,6 +417,70 @@ object GraftExpressions {
   }
 
   /**
+   * `md5_gram_buckets(tokens array<string>, buckets, prefix)` — the
+   * hashing-trick feature buckets of a document's unigrams + bigrams in
+   * ONE primitive pass (the q55 classifier / q44 DSIR featurizer):
+   * per gram `g` (each token, then each `"tok[i] tok[i+1]"` pair, in
+   * that order) the value is
+   * `conv(substring(md5(prefix || g), 1, 15), 16, 10) % buckets` as an
+   * int — md5 kept so the DuckDB oracles replay identical buckets.
+   * Bit-identical by construction to the column-algebra form retained as
+   * [[graft.operators.Corpus.hashedGramsSpec]] (property-tested). The
+   * HOF form dispatched two interpreted lambda layers and built every
+   * bigram through slice → concat_ws → concat → hex-substring-conv —
+   * ~1M allocating md5 chains per 5k-doc batch; this pass converts each
+   * token to UTF-8 once and streams prefix/gram bytes straight into the
+   * thread-local MessageDigest. Null tokens never reach this (the
+   * upstream tokenizer filters empties); bigram null-parity follows
+   * concat_ws (skip). Interpreted eval only (CodegenFallback): the md5
+   * dominates.
+   */
+  case class Md5GramBuckets(tokens: Expression, buckets: Int, prefix: String)
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    require(buckets >= 1, "buckets must be >= 1")
+    override def child: Expression = tokens
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "md5_gram_buckets"
+    private val pfx = prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    override def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = arr.numElements()
+      val toks = new Array[Array[Byte]](n)
+      var i = 0
+      while (i < n) {
+        toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).getBytes
+        i += 1
+      }
+      val md = GraftExpressions.md5Local.get()
+      def bucketOf(first: Array[Byte], second: Array[Byte]): Int = {
+        md.reset()
+        md.update(pfx)
+        if (first != null) md.update(first)
+        if (second != null) { // concat_ws parity: null skipped, no sep
+          if (first != null) md.update(' '.toByte)
+          md.update(second)
+        }
+        val d = md.digest()
+        var l = 0L
+        var b = 0
+        while (b < 8) { l = (l << 8) | (d(b) & 0xffL); b += 1 }
+        ((l >>> 4) % buckets).toInt // first 15 hex chars, % buckets
+      }
+      val m = if (n >= 2) 2 * n - 1 else n
+      val out = new Array[Int](m)
+      i = 0
+      while (i < n) { out(i) = bucketOf(toks(i), null); i += 1 }
+      i = 0
+      while (i < n - 1) { out(n + i) = bucketOf(toks(i), toks(i + 1)); i += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(tokens = c)
+  }
+
+  /**
    * `shingles_sorted(tokens array<string>, n)` — the SORTED, DISTINCT
    * n-gram shingle array of a token list in ONE primitive pass: every
    * window's text is assembled once into a byte buffer (tokens joined by
@@ -669,6 +733,11 @@ object GraftExpressions {
       es => Md5WindowHashes(es(0),
         es(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Int]),
       "scala_udf")
+    reg.createOrReplaceTempFunction("md5_gram_buckets",
+      es => Md5GramBuckets(es(0),
+        es(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Int],
+        es(2).eval(org.apache.spark.sql.catalyst.InternalRow.empty).toString),
+      "scala_udf")
     reg.createOrReplaceTempFunction("sign_buckets_md5",
       es => SignBucketsMd5(es(0),
         es(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Int],
@@ -716,6 +785,10 @@ object GraftExpressions {
   def md5_window_hashes(tokens: Column, w: Int): Column =
     call_function("md5_window_hashes", tokens,
       org.apache.spark.sql.functions.lit(w))
+  def md5_gram_buckets(tokens: Column, buckets: Int, prefix: String): Column =
+    call_function("md5_gram_buckets", tokens,
+      org.apache.spark.sql.functions.lit(buckets),
+      org.apache.spark.sql.functions.lit(prefix))
   def sign_buckets_md5(vec: Column, tables: Int, planesPerTable: Int): Column =
     call_function("sign_buckets_md5", vec,
       org.apache.spark.sql.functions.lit(tables),

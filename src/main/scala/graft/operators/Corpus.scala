@@ -433,7 +433,19 @@ object Corpus {
     * array binds once (the [[TextOps.shingles]] lesson); docs with < 2
     * tokens emit no bigrams, empty docs emit nothing. Shared by
     * [[dsirSample]] and [[qualityClassifier]]. */
+  /** Hashing-trick unigram+bigram buckets — ONE primitive pass via the
+    * custom `md5_gram_buckets` expression (callers register; the HOF
+    * chain below is the bit-identity spec). */
   private def hashedGrams(toks: Column, buckets: Int, prefix: String): Column =
+    graft.functions.GraftExpressions.md5_gram_buckets(toks, buckets, prefix)
+
+  /** The column-algebra form `md5_gram_buckets` replaced — kept ONLY as
+    * the bit-identity reference for CorpusSpec's property test (the
+    * [[graft.operators.Dedup.shingleArrSpec]] discipline), never on the
+    * hot path: it dispatched two interpreted lambda layers and built
+    * every bigram through slice → concat_ws → concat →
+    * hex-substring-conv. */
+  def hashedGramsSpec(toks: Column, buckets: Int, prefix: String): Column =
     element_at(transform(array(toks), t => {
       val bigrams = when(size(t) >= 2,
         transform(sequence(lit(1), size(t) - 1),
@@ -479,6 +491,7 @@ object Corpus {
    */
   def dsirSample(raw: DataFrame, target: DataFrame, k: Int,
       buckets: Int = 4096, seed: Long = 42L): DataFrame = {
+    graft.functions.GraftExpressions.register(raw.sparkSession)
     val grams = (df: DataFrame) => df.select(col("doc_id"),
       explode(dsirGrams(TextOps.tokens(col("text")), buckets)).as("bucket"))
     // both sides collapse to <= buckets rows before the join (full outer:
@@ -556,6 +569,7 @@ object Corpus {
    */
   def qualityClassifier(docs: DataFrame, buckets: Int = 4096,
       biasMicro: Long = 0L): DataFrame = {
+    graft.functions.GraftExpressions.register(docs.sparkSession)
     val wLit = typedlit(classifierWeights(buckets))
     // one row-struct per doc: the feature array binds ONCE (size + fold
     // both read it; CollapseProject keeps multi-referenced non-trivial

@@ -129,6 +129,32 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("md5_gram_buckets expression is bit-identical to the column-algebra reference") {
+    // q55's classifier features and q44's DSIR buckets depend on the
+    // EXACT md5 bytes per unigram/bigram: the one-pass expression must
+    // reproduce conv(substring(md5(prefix || gram),1,15),16,10) % buckets
+    // in the HOF form's order (all unigrams, then all bigrams) —
+    // including unicode, empty text (empty array), and single-token docs
+    // (no bigrams)
+    graft.functions.GraftExpressions.register(spark)
+    val docs = corpus().unionByName(Seq(
+      100L -> "", 101L -> "ünïcode tökens über all",
+      102L -> "solo", 103L -> "a b a b a b",
+      104L -> "exactly two").toDF("doc_id", "text"))
+    for ((buckets, pfx) <- Seq((4096, "qf:"), (64, "dsir:"))) {
+      val toks = graft.operators.TextOps.tokens(col("text"))
+      val both = docs.select(col("doc_id"),
+        graft.functions.GraftExpressions
+          .md5_gram_buckets(toks, buckets, pfx).as("fast"),
+        graft.operators.Corpus.hashedGramsSpec(toks, buckets, pfx).as("ref"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getSeq[Int](1) == r.getSeq[Int](2),
+          s"gram-bucket mismatch for doc ${r.getLong(0)} at ($buckets, $pfx)")
+      }
+    }
+  }
+
   test("sign_buckets_md5 expression is bit-identical to the literal-matrix HOF reference") {
     // LSH bucket keys (and so q27/q29 candidate sets) depend on EXACT
     // projection signs: the one-pass expression recomputes the md5 plane
