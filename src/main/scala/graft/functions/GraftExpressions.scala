@@ -481,6 +481,63 @@ object GraftExpressions {
   }
 
   /**
+   * `pq_encode(code array<int>, cb_flat array<int>, m, ks)` — product-
+   * quantization encode (q56) in ONE primitive pass: per subspace `j`
+   * the FIRST codebook index minimizing the exact integer L2 between the
+   * row's j-th subvector and entry `cb[j][c]` (ties → smallest c, the
+   * `array_position`-first-hit rule). `cb_flat` is the m×ks×sub codebook
+   * flattened row-major (`cb[((j·ks)+c)·sub + i]`) as a foldable
+   * literal — it lives on the driver like the k-means centers, the
+   * corpus never does. Bit-identical to the column-algebra form kept as
+   * [[graft.operators.Similarity.pqEncodeSpec]] (property-tested): that
+   * form dispatched m·ks interpreted zip_with/aggregate lambdas with two
+   * nested element_at derefs PER ELEMENT; this is m·ks·sub integer ops.
+   * Interpreted eval only (CodegenFallback): the arithmetic is trivial
+   * per row and the expression sits outside the join's hot loop.
+   */
+  case class PqEncode(code: Expression, cbFlat: Array[Int], m: Int, ks: Int)
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    require(m >= 1 && ks >= 1 && cbFlat.length % (m * ks) == 0,
+      s"codebook length ${cbFlat.length} must be m*ks*sub")
+    private val sub = cbFlat.length / (m * ks)
+    override def child: Expression = code
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "pq_encode"
+    override def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      require(arr.numElements() == m * sub,
+        s"code length ${arr.numElements()} != dim ${m * sub}")
+      val x = arr.toIntArray()
+      val out = new Array[Int](m)
+      var j = 0
+      while (j < m) {
+        var bestC = 0
+        var bestD = Long.MaxValue
+        var c = 0
+        while (c < ks) {
+          val base = ((j * ks) + c) * sub
+          var d = 0L
+          var i = 0
+          while (i < sub) {
+            val diff = (x(j * sub + i) - cbFlat(base + i)).toLong
+            d += diff * diff
+            i += 1
+          }
+          if (d < bestD) { bestD = d; bestC = c } // strict < keeps FIRST min
+          c += 1
+        }
+        out(j) = bestC
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(code = c)
+  }
+
+  /**
    * `shingles_sorted(tokens array<string>, n)` — the SORTED, DISTINCT
    * n-gram shingle array of a token list in ONE primitive pass: every
    * window's text is assembled once into a byte buffer (tokens joined by
@@ -738,6 +795,13 @@ object GraftExpressions {
         es(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Int],
         es(2).eval(org.apache.spark.sql.catalyst.InternalRow.empty).toString),
       "scala_udf")
+    reg.createOrReplaceTempFunction("pq_encode",
+      es => PqEncode(es(0),
+        es(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray(),
+        es(2).eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Int],
+        es(3).eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Int]),
+      "scala_udf")
     reg.createOrReplaceTempFunction("sign_buckets_md5",
       es => SignBucketsMd5(es(0),
         es(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Int],
@@ -789,6 +853,11 @@ object GraftExpressions {
     call_function("md5_gram_buckets", tokens,
       org.apache.spark.sql.functions.lit(buckets),
       org.apache.spark.sql.functions.lit(prefix))
+  def pq_encode(code: Column, cbFlat: Seq[Int], m: Int, ks: Int): Column =
+    call_function("pq_encode", code,
+      org.apache.spark.sql.functions.typedlit(cbFlat),
+      org.apache.spark.sql.functions.lit(m),
+      org.apache.spark.sql.functions.lit(ks))
   def sign_buckets_md5(vec: Column, tables: Int, planesPerTable: Int): Column =
     call_function("sign_buckets_md5", vec,
       org.apache.spark.sql.functions.lit(tables),

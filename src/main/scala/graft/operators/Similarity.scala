@@ -156,8 +156,32 @@ object Similarity {
    * Output per query: (q_id, n_id, adc_dist, exact_l2?, rk ≤ k), ranked
    * by (adc_dist asc, n_id).
    */
+  /** The column-algebra PQ encode `pq_encode` replaced — kept ONLY as
+    * the bit-identity reference for GraphSketchSpec's property test (the
+    * [[graft.operators.Dedup.shingleArrSpec]] discipline), never on the
+    * hot path: it dispatched m·ks interpreted zip_with/aggregate lambdas
+    * with two nested element_at derefs per element. `cbLit` is the
+    * nested m×ks×sub codebook literal. */
+  def pqEncodeSpec(code: Column, cbLit: Column, m: Int, ks: Int,
+      sub: Int): Column = {
+    def subDist(subv: Column, j: Column, cc: Column): Column =
+      aggregate(zip_with(subv,
+        element_at(element_at(cbLit, (j + 1).cast("int")), (cc + 1).cast("int")),
+        (x, y) => (x.cast("long") - y.cast("long")) *
+          (x.cast("long") - y.cast("long"))),
+        lit(0L), (a, v) => a + v)
+    transform(sequence(lit(0), lit(m - 1)), j => {
+      val subv = slice(code, j * lit(sub) + lit(1), lit(sub))
+      val dists = transform(sequence(lit(0), lit(ks - 1)),
+        cc => subDist(subv, j, cc))
+      (call_function("array_position", dists, array_min(dists)) - 1)
+        .cast("int")
+    })
+  }
+
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       m: Int = 8, ks: Int = 16, withExact: Boolean = true): DataFrame = {
+    graft.functions.GraftExpressions.register(corpus.sparkSession)
     val ams = amaxGrid(corpus)
     val amsLit = typedlit(ams)
     val dim = ams.length
@@ -176,23 +200,21 @@ object Similarity {
     val cb: Seq[Seq[Seq[Int]]] = Seq.tabulate(m)(j =>
       sample.toSeq.map(_.getSeq[Int](1).slice(j * sub, (j + 1) * sub).toSeq))
     val cbLit = typedlit(cb)
-    // exact integer L2 between a subvector and codebook entry (j, cc)
+    // exact integer L2 between a subvector and codebook entry (j, cc) —
+    // LUT use only (the bounded query side); the corpus encode goes
+    // through the one-pass pq_encode expression
     def subDist(subv: Column, j: Column, cc: Column): Column =
       aggregate(zip_with(subv,
         element_at(element_at(cbLit, (j + 1).cast("int")), (cc + 1).cast("int")),
         (x, y) => (x.cast("long") - y.cast("long")) *
           (x.cast("long") - y.cast("long"))),
         lit(0L), (a, v) => a + v)
-    // encode: per subspace the argmin-distance codebook index (ties →
-    // smallest index: array_position returns the FIRST hit)
+    // corpus encode: ONE primitive pass (argmin ties → smallest index,
+    // the array_position-first-hit rule — bit-identity vs [[pqEncodeSpec]]
+    // property-tested in GraphSketchSpec)
+    val cbFlat: Seq[Int] = cb.flatten.flatten
     def pqEncode(code: Column): Column =
-      transform(sequence(lit(0), lit(m - 1)), j => {
-        val subv = slice(code, j * lit(sub) + lit(1), lit(sub))
-        val dists = transform(sequence(lit(0), lit(ks - 1)),
-          cc => subDist(subv, j, cc))
-        (call_function("array_position", dists, array_min(dists)) - 1)
-          .cast("int")
-      })
+      graft.functions.GraftExpressions.pq_encode(code, cbFlat, m, ks)
     // per-query ADC lookup table: lut[j][c] = dist(q's subspace j, cb[j][c])
     def lutOf(code: Column): Column =
       transform(sequence(lit(0), lit(m - 1)), j => {

@@ -215,6 +215,36 @@ class GraphSketchSpec extends AnyFunSuite {
       Seq("q_id", "n_id", "adc_dist", "rk"))
   }
 
+  test("pq_encode expression is bit-identical to the column-algebra reference") {
+    // q56's codes (and so its ADC ranking) depend on EXACT argmin ties:
+    // the primitive pass must reproduce the array_position-first-hit
+    // rule — exercised with a codebook containing DUPLICATE entries so
+    // ties actually occur, plus negative codes and m=1/ks=1 edges
+    import graft.operators.Similarity
+    graft.functions.GraftExpressions.register(spark)
+    import org.apache.spark.sql.functions.typedlit
+    val m = 4; val sub = 2; val ks = 3
+    // cb[j][c][i]; entries 0 and 2 of every subspace are IDENTICAL → tie
+    val cb: Seq[Seq[Seq[Int]]] = Seq.tabulate(m)(j =>
+      Seq(Seq(j, -j), Seq(j * 2 - 3, 5 - j), Seq(j, -j)))
+    val codes = (0L until 40L).map(r =>
+      r -> (0 until m * sub).map(i =>
+        (((r * 37 + i * 11) % 255) - 127).toInt).toSeq)
+    val df = codes.toDF("id", "code")
+    val both = df.select(col("id"),
+      graft.functions.GraftExpressions
+        .pq_encode(col("code"), cb.flatten.flatten, m, ks).as("fast"),
+      Similarity.pqEncodeSpec(col("code"), typedlit(cb), m, ks, sub).as("ref"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2),
+        s"pq encode mismatch for row ${r.getLong(0)}")
+    }
+    // the planted tie resolves to index 0, never 2
+    assert(both.forall(!_.getSeq[Int](1).contains(2)),
+      "duplicate codebook entry must resolve to the FIRST index")
+  }
+
   test("histogramQuantiles: matches a driver-side replay; width=1 degenerates to exact") {
     // two groups with hand-built token counts: g1 = 10,20,...,100 (one
     // doc each); g2 = constant 7 tokens
