@@ -303,4 +303,34 @@ class StreamingSpec extends AnyFunSuite {
         s"state table diverged at round $r")
     }
   }
+
+  test("streaming first-seen dedup: cross-batch duplicates dropped, within-batch min id wins") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingDedup
+    val in = MemoryStream[(Long, String)]
+    val out = StreamingDedup.firstSeen(in.toDS().toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: two distinct texts + a within-batch dup (7 vs 3: min wins);
+      // whitespace/case variants normalize into the same fingerprint
+      in.addData((3L, "the cat sat"), (7L, "THE  cat   sat"), (5L, "other text"))
+      q.processAllAvailable()
+      val r1 = spark.table("dedup_out").collect()
+        .map(r => r.getLong(0)).sorted.toSeq
+      assert(r1 == Seq(3L, 5L), s"batch 1 emitted $r1")
+      // batch 2: a cross-batch dup of batch 1 (dropped, even with a
+      // smaller id) + one genuinely new doc
+      in.addData((1L, "the cat sat"), (9L, "fresh content"))
+      q.processAllAvailable()
+      val r2 = spark.table("dedup_out").collect()
+        .map(r => r.getLong(0)).sorted.toSeq
+      assert(r2 == Seq(3L, 5L, 9L), s"after batch 2: $r2")
+      // fingerprints match the batch operator's exactly (one row each)
+      val fps = spark.table("dedup_out").collect()
+        .map(r => r.getString(1)).toSeq
+      assert(fps.distinct.size == 3)
+    } finally q.stop()
+  }
 }
