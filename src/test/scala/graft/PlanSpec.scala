@@ -95,6 +95,21 @@ class PlanSpec extends AnyFunSuite {
       s"PQ search degraded to sort-merge:\n$plan")
   }
 
+  test("q61 mixture sample: quota dim broadcasts, the draw reuses ONE corpus exchange on the domain key") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = planOf(graft.operators.Corpus.mixtureSample(docs, k = 20))
+    // the domain-dim quota join must never shuffle the corpus side
+    assert(plan.contains("BroadcastHashJoin"),
+      s"quota dim lost its broadcast:\n$plan")
+    // corpus-side exchanges: one for the mixture aggregate, one for the
+    // per-domain rank window — the apportionment's dim-sized windows may
+    // add SinglePartition exchanges over the DOMAIN DIM only, so count
+    // the hashpartitioning exchanges instead of all Exchange nodes
+    val corpusExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(corpusExchanges <= 2,
+      s"mixture sample shuffles the corpus more than twice:\n$plan")
+  }
+
   test("q50 pageRank: per-iteration contribs are a partial-aggregated shuffle on dst") {
     import spark.implicits._
     val docs = (0 until 64).map(_.toLong).toDF("doc_id")
