@@ -481,6 +481,94 @@ object GraftExpressions {
   }
 
   /**
+   * `bpe_apply(tokens array<string>, merges array<string>)` — apply a
+   * trained BPE merge table (Sennrich et al. 2016 §3.2 — the inference
+   * counterpart of [[graft.operators.Corpus.bpePairCounts]], whose top
+   * pairs ARE this table's rows) to a document's whitespace tokens: each
+   * word starts as its character sequence; the lowest-INDEX merge rule
+   * whose pair occurs anywhere in the word is applied to ALL its
+   * occurrences left-to-right, repeatedly, until no rule applies (the
+   * reference algorithm's priority loop); the document's subword
+   * sequence is the concatenation over words. `merges` is an ordered
+   * `"a b"` pair list — a trained artifact, passed as a foldable
+   * literal (driver-resident like the k-means centers; the corpus never
+   * holds it). Output: `array<string>` subwords, document order.
+   *
+   * Left-to-right within one rule means a merged pair cannot overlap
+   * its own left neighbor in the same pass (`"aaa"` under rule `a a` →
+   * `["aa","a"]`), matching the reference implementation. Pure per-row
+   * projection — rides the scan, no shuffle. Interpreted eval only
+   * (CodegenFallback): the per-word loop dominates.
+   */
+  case class BpeApply(tokens: Expression, merges: Seq[String])
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def child: Expression = tokens
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "bpe_apply"
+    // rule priority: pair -> first (lowest) index
+    private val rank: Map[(String, String), Int] = {
+      val m = scala.collection.mutable.Map.empty[(String, String), Int]
+      merges.iterator.zipWithIndex.foreach { case (r, i) =>
+        val sp = r.indexOf(' ')
+        require(sp > 0 && sp < r.length - 1, s"merge rule '$r' is not 'a b'")
+        val key = (r.substring(0, sp), r.substring(sp + 1))
+        if (!m.contains(key)) m(key) = i
+      }
+      m.toMap
+    }
+    private def encodeWord(w: String): Seq[String] = {
+      var syms: Vector[String] = w.map(_.toString).toVector
+      var done = syms.length < 2
+      while (!done) {
+        // lowest-priority-index pair present in the word
+        var best = Int.MaxValue
+        var i = 0
+        while (i < syms.length - 1) {
+          rank.get((syms(i), syms(i + 1))).foreach(r => if (r < best) best = r)
+          i += 1
+        }
+        if (best == Int.MaxValue) done = true
+        else {
+          val (a, b) = {
+            val r = merges(best); val sp = r.indexOf(' ')
+            (r.substring(0, sp), r.substring(sp + 1))
+          }
+          val out = Vector.newBuilder[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+              out += a + b; j += 2 // left-to-right, no overlap within a pass
+            } else { out += syms(j); j += 1 }
+          }
+          syms = out.result()
+          if (syms.length < 2) done = true
+        }
+      }
+      syms
+    }
+    override def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = arr.numElements()
+      val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.unsafe.types.UTF8String]
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val w = arr.getUTF8String(i).toString
+          if (w.nonEmpty)
+            encodeWord(w).foreach(s =>
+              out += org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        }
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray[Any])
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(tokens = c)
+  }
+
+  /**
    * `pq_encode(code array<int>, cb_flat array<int>, m, ks)` — product-
    * quantization encode (q56) in ONE primitive pass: per subspace `j`
    * the FIRST codebook index minimizing the exact integer L2 between the
@@ -795,6 +883,13 @@ object GraftExpressions {
         es(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Int],
         es(2).eval(org.apache.spark.sql.catalyst.InternalRow.empty).toString),
       "scala_udf")
+    reg.createOrReplaceTempFunction("bpe_apply",
+      es => BpeApply(es(0),
+        es(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toArray[org.apache.spark.unsafe.types.UTF8String](StringType)
+          .map(_.toString).toSeq),
+      "scala_udf")
     reg.createOrReplaceTempFunction("pq_encode",
       es => PqEncode(es(0),
         es(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
@@ -853,6 +948,9 @@ object GraftExpressions {
     call_function("md5_gram_buckets", tokens,
       org.apache.spark.sql.functions.lit(buckets),
       org.apache.spark.sql.functions.lit(prefix))
+  def bpe_apply(tokens: Column, merges: Seq[String]): Column =
+    call_function("bpe_apply", tokens,
+      org.apache.spark.sql.functions.typedlit(merges))
   def pq_encode(code: Column, cbFlat: Seq[Int], m: Int, ks: Int): Column =
     call_function("pq_encode", code,
       org.apache.spark.sql.functions.typedlit(cbFlat),

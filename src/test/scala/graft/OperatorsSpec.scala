@@ -155,6 +155,53 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe_apply: merge priority, left-to-right non-overlap, independent replay") {
+    graft.functions.GraftExpressions.register(spark)
+    import graft.functions.GraftExpressions.bpe_apply
+    val merges = Seq("e s", "es t", "l o", "lo w")
+    def enc(text: String, m: Seq[String]): Seq[String] =
+      Seq(1L -> text).toDF("doc_id", "text")
+        .select(bpe_apply(graft.operators.TextOps.tokens(col("text")), m).as("s"))
+        .collect().head.getSeq[String](0)
+    // the canonical Sennrich example: lowest → low + est, lower → low e r
+    assert(enc("lowest lower", merges) ==
+      Seq("low", "est", "low", "e", "r"))
+    // empty merge table = characters
+    assert(enc("ab c", Nil) == Seq("a", "b", "c"))
+    // left-to-right within one rule: a merged pair cannot overlap itself
+    assert(enc("aaa", Seq("a a")) == Seq("aa", "a"))
+    assert(enc("aaaa", Seq("a a", "aa aa")) == Seq("aaaa"))
+    // independent replay of the priority loop on a distinct merge table
+    val m2 = Seq("t h", "th e", "i n", "a n", "an d")
+    def replay(w: String): Seq[String] = {
+      var s = w.map(_.toString).toVector
+      var go = true
+      while (go && s.length > 1) {
+        val cands = s.zip(s.tail).flatMap { case (a, b) =>
+          val i = m2.indexOf(s"$a $b"); if (i >= 0) Some(i) else None }
+        if (cands.isEmpty) go = false
+        else {
+          val Array(a, b) = m2(cands.min).split(" ")
+          val out = Vector.newBuilder[String]
+          var j = 0
+          while (j < s.length) {
+            if (j < s.length - 1 && s(j) == a && s(j + 1) == b) { out += a + b; j += 2 }
+            else { out += s(j); j += 1 }
+          }
+          s = out.result()
+        }
+      }
+      s
+    }
+    val words = Seq("the", "then", "thin", "and", "anthem", "banana", "x")
+    assert(enc(words.mkString(" "), m2) == words.flatMap(replay))
+    // per-row projection: no shuffle
+    val plan = Seq(1L -> "a b").toDF("doc_id", "text")
+      .select(bpe_apply(graft.operators.TextOps.tokens(col("text")), m2))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bpe_apply must ride the scan:\n$plan")
+  }
+
   test("sign_buckets_md5 expression is bit-identical to the literal-matrix HOF reference") {
     // LSH bucket keys (and so q27/q29 candidate sets) depend on EXACT
     // projection signs: the one-pass expression recomputes the md5 plane
