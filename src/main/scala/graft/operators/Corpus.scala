@@ -293,7 +293,7 @@ object Corpus {
       // pass 2: partition-local running sum from the broadcast offset
       implicit val outEnc =
         Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
-      typed.mapPartitions { it =>
+      val out = typed.mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         var run = bc.value(pid)
         it.map { case (id, len, _) =>
@@ -313,6 +313,15 @@ object Corpus {
             expr(s"(start + n_tokens - 1) DIV $cap - start DIV $cap + 1"))
             .otherwise(lit(0L)).as("n_seqs"),
           (col("start") % cap).as("seq_offset"))
+      // Eager pin BEFORE the unpersist: the broadcast offsets were read
+      // off the CACHED range layout, and a caller evaluating the lazy
+      // result after unpersist would re-run the range exchange — whose
+      // sampled boundaries can differ on a multi-split input, silently
+      // misaligning offsets against data (observed at sf0.1: layouts
+      // diverged per parallelism AND from the sequential oracle). The
+      // checkpoint materializes pass 2 while the cache still backs it,
+      // so later actions replay the pinned rows.
+      out.localCheckpoint()
     } finally ranged.unpersist(): Unit
   }
 

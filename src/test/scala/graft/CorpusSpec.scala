@@ -153,6 +153,44 @@ class CorpusSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("packSequences over a multi-file scan matches the sequential oracle at every P") {
+    // Regression for the unpersist-before-consume corruption: offsets
+    // were computed on the CACHED range layout, but a caller evaluating
+    // the lazy result after the unpersist re-ran the range exchange —
+    // over a MULTI-SPLIT file scan its re-sampled boundaries can differ,
+    // silently misaligning offsets against data. A LocalRelation never
+    // triggers it; a several-file parquet scan does (observed at sf0.1).
+    val dir = java.nio.file.Files.createTempDirectory("graft-pack").toString
+    val n = 800
+    (0 until n).map(i => (i.toLong, ("w " * (i % 23)).trim))
+      .toDF("doc_id", "text")
+      .repartition(6) // several parquet files → multi-split scan
+      .write.mode("overwrite").parquet(dir)
+    val scan = spark.read.parquet(dir)
+    // sequential oracle over the (md5 draw, doc_id) total order
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val lens = (0 until n).map(i => i.toLong -> (i % 23).toLong).toMap
+    val order = lens.keys.toSeq.sortBy(id => (md5hex(s"pack:42:$id"), id))
+    val cap = 64
+    var run = 0L
+    val want = order.map { id =>
+      val len = lens(id)
+      val first = run / cap
+      val last = if (len > 0) (run + len - 1) / cap else first
+      val r = (id, len, first, last, if (len > 0) last - first + 1 else 0L, run % cap)
+      run += len
+      r
+    }.sortBy(_._1)
+    for (p <- Seq(3, 8, 13)) {
+      val got = Corpus.packSequences(scan, cap = cap, parts = p)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSeq
+      assert(got == want, s"packing diverged from the sequential oracle at parts=$p")
+    }
+  }
+
   test("termFreqQuality: integer corpus counts, OOV fraction, empty docs") {
     val docs = Seq(
       1L -> "the the cat", // the:3(corpus), cat:1
