@@ -90,8 +90,15 @@ object SeenIndex {
     * reads just that chunk) into `into`. Missing dirs are fine: rounds with
     * zero admitted pops write no archive. */
   private def loadRoundSlice(root: String, r: Int, bucket: Int,
+      into: java.util.HashSet[UTF8String]): Unit =
+    loadUrlDir(
+      java.nio.file.Paths.get(root, s"round=$r", s"host_bucket=$bucket").toString, into)
+
+  /** Load the `url` column of every parquet file under `dir` into `into`
+    * (shared with [[PoolIndex]]). Missing dirs are a no-op. */
+  private[frontier] def loadUrlDir(dirPath: String,
       into: java.util.HashSet[UTF8String]): Unit = {
-    val dir = java.nio.file.Paths.get(root, s"round=$r", s"host_bucket=$bucket")
+    val dir = java.nio.file.Paths.get(dirPath)
     if (!java.nio.file.Files.exists(dir)) return
     val conf = new org.apache.hadoop.conf.Configuration()
     conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
@@ -159,4 +166,35 @@ case class SeenIndexContains(child: Expression, root: String, cutoff: Int)
 
   override protected def withNewChildInternal(newChild: Expression): SeenIndexContains =
     copy(child = newChild)
+}
+
+/**
+ * `seen_index_contains_at(url, host_bucket)` — the by-column form of
+ * [[SeenIndexContains]]: the bucket comes from the row itself (the restored
+ * `host_bucket` column), not the task's partitionIndex, so it is valid in
+ * ANY plan position — scan filters included. Used by the delta-pool mode
+ * ([[graft.pipeline.CrawlConfig.poolDeltaRounds]]) where popped rows leave
+ * the pool LOGICALLY (their stale base-file rows are dropped at read
+ * against the archive — Iceberg's delete-file semantics) instead of via a
+ * physical rewrite. Deterministic: archive rounds ≤ `cutoff` are immutable.
+ */
+case class SeenIndexContainsAt(left: Expression, right: Expression,
+    root: String, cutoff: Int)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with CodegenFallback {
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "seen_index_contains_at"
+
+  override def eval(input: InternalRow): Any = {
+    val u = left.eval(input)
+    val b = right.eval(input)
+    if (u == null || b == null) false
+    else SeenIndex.contains(root, cutoff, b.asInstanceOf[Int], u.asInstanceOf[UTF8String])
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SeenIndexContainsAt =
+    copy(left = newLeft, right = newRight)
 }

@@ -99,10 +99,27 @@ class Crawler(
        else Map.empty),
     dropCols = Seq("host", "host_bucket", "last_visit"))
 
+  /** Delta-pool (LSM) mode: rounds append per-bucket delta files instead
+    * of rewriting the base, compacting every `poolDeltaRounds` rounds. Only
+    * meaningful for the unique-fifo regime (the steady-state crawl); other
+    * samplers need the visited rows in view and keep the classic rewrite. */
+  private val deltaModeActive = cfg.poolDeltaRounds > 1
+  if (deltaModeActive)
+    require(cfg.unique && cfg.sampler == "fifo" && !cfg.useSeenFilter,
+      s"poolDeltaRounds=${cfg.poolDeltaRounds} requires unique=true, sampler=fifo, " +
+        "useSeenFilter=false (classic rewrite covers the other regimes)")
+
   /** The pool with derived columns restored — every consumer of the
-    * frontier table reads THIS view. */
-  private def poolView: DataFrame =
-    Frontier.restorePool(frontierTable.read(spark), cfg.numBuckets)
+    * frontier table reads THIS view. In delta mode, popped rows leave the
+    * pool LOGICALLY: their stale base-file rows are dropped here against
+    * the seen archive (Iceberg delete-file semantics) instead of via the
+    * per-round physical rewrite. */
+  private def poolView: DataFrame = {
+    val raw = Frontier.restorePool(frontierTable.read(spark), cfg.numBuckets)
+    if (!deltaModeActive) raw
+    else raw.filter(!graft.functions.GraftExpressions.seen_index_contains_at(
+      col("url"), col("host_bucket"), seenDir, lastRound))
+  }
   val seenFilters = new graft.frontier.SeenFilterStore(workDir)
 
   /** Politeness state past this many hosts falls back to the window form
@@ -190,6 +207,11 @@ class Crawler(
     // only the POOL is rewritten; archived rows never re-enter it
     val merged = pool.unionByName(fresh)
     val seedRound = math.max(lastRound, 0)
+    // a re-seed REWRITES the manifest at the same round (and compacts any
+    // live deltas) — drop the pool index's cached snapshot of that round
+    // (single-JVM; on a cluster the stale-base loud check in PoolIndex
+    // catches it)
+    if (deltaModeActive) graft.frontier.PoolIndex.invalidate()
     val rows = frontierTable.commit(merged, seedRound)
     if (cfg.useSeenFilter)
       seenFilters.updateAndSave(spark, seedRound, seedRound, cands, frontier())
@@ -272,8 +294,28 @@ class Crawler(
       if (!gated) None
       else cachedStateMap.orElse(
         graft.streaming.Politeness.stateMapOf(prevState, broadcastStateMax))
+    // Delta-pool pop: a bucket's live rows span SEVERAL sorted files (base
+    // + per-round deltas), so the pop is the two-stage form — per-file
+    // streaming prefixes, then ONE O(popped + delta) exchange onto the
+    // balanced bucket token and the same fused walker. Used for EVERY
+    // round in delta mode (deltas may be live even on compaction rounds).
+    def popDelta(st: Option[org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[String, (Double, Long)]]]) =
+      Frontier.popSortedFifoDeltaFlagged(
+        Frontier.popDeltaScan(popSource, cfg.perHostBudget),
+        cfg.numBuckets, cfg.perHostBudget, cfg.perBucketBudget,
+        st, r.toLong, cfg.politenessRate, cfg.politenessBurst)
     val cached = (
-      if (!gated) popPlain()
+      if (deltaModeActive) {
+        if (!gated) popDelta(None).drop("admit")
+        else stateMap match {
+          case Some(m) => popDelta(Some(spark.sparkContext.broadcast(m)))
+          case None =>
+            graft.streaming.Politeness.flagAdmissionsWindow(
+              popDelta(None).drop("admit"), prevState, r.toLong,
+              cfg.politenessRate, cfg.politenessBurst)
+        }
+      } else if (!gated) popPlain()
       else stateMap match {
         case Some(m) if sortedFifo =>
           Frontier.popSortedFifoFlagged(popSource, cfg.perHostBudget,
@@ -479,8 +521,10 @@ class Crawler(
       // the snapshot round advances and per-host tokens accrue
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Frontier.schema)
-      val rows = frontierTable.commit(empty, r, Some(Set.empty),
-        beforeRename = () => joinStateWrite()) + seenRows
+      val rows = (if (deltaModeActive)
+        frontierTable.appendDelta(empty, r, 0L, beforeRename = () => joinStateWrite())
+      else frontierTable.commit(empty, r, Some(Set.empty),
+        beforeRename = () => joinStateWrite())) + seenRows
       writeLineage(r, Seq.empty, 0, 0, 0, 0, rows)
       cached.unpersist()
       return RoundStats(r, 0, 0, 0, 0, rows, offeredN)
@@ -505,6 +549,15 @@ class Crawler(
       catch { case e: Throwable => seenWriteError = e })
     seenWrite.setName(s"seen-archive-r$r")
     seenWrite.start()
+    // the overlapped politeness-state and seen-archive writes must land
+    // BEFORE the atomic manifest rename (torn-round replay consistency) —
+    // the hook joins them as late as possible, after the commit's own
+    // write + footer jobs, maximizing the overlap window
+    val joinOverlapped = () => {
+      joinStateWrite()
+      seenWrite.join()
+      if (seenWriteError != null) throw seenWriteError
+    }
 
     val written = spark.read.schema(out.drop("round").schema)
       .parquet(s"$docsDir/round=$r")
@@ -554,6 +607,43 @@ class Crawler(
         }
       }.toDF("url", "depth", "discovered_at")
     }
+    // ---- DELTA ROUND (LSM pool): append only the round's NEW urls as
+    //      per-bucket sorted delta files; the base files are untouched and
+    //      popped rows leave the pool logically (seen-archive filter at
+    //      read). Commit I/O is O(delta + popped), never O(pool) — the
+    //      former pool rewrite was the round's largest and worst-scaling
+    //      stage (BENCH.md round-4 probe: ~half the round wall). Every
+    //      poolDeltaRounds-th round runs the classic full merge below as
+    //      the compaction. First-seen dedup against pool ∪ archive is two
+    //      exact partition-local probes on the candidates' token-
+    //      partitioned aggregation output (PoolIndex + SeenIndex).
+    val snapCompact = frontierTable.currentSnapshot().map(_.compactRound).getOrElse(r)
+    val deltaRound = deltaModeActive && (r - snapCompact) < cfg.poolDeltaRounds
+    if (deltaRound) {
+      val cands0 = Frontier.normalizeCandidates(thinned, cfg.numBuckets,
+        cfg.respectRobots, dedup = false)
+      val emptyF = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Frontier.schema)
+      // in-round dedup with the merge's exact min-pack rule (ONE exchange
+      // onto the balanced bucket token — also the layout the delta write
+      // needs), then drop everything ever seen: pool members (base+deltas,
+      // PoolIndex) and archived urls (SeenIndex) — together exactly the
+      // classic merge's first-seen semantics (existing row always wins)
+      val fresh = Frontier.mergeRound(emptyF, cands0, emptyF, r, cfg.numBuckets)
+        .filter(!graft.functions.GraftExpressions.pool_index_contains(
+          col("url"), frontierTable.root, r - 1))
+        .filter(!graft.functions.GraftExpressions.seen_index_contains(
+          col("url"), seenDir, r - 1))
+      val poolRows = timed("commit")(
+        frontierTable.appendDelta(fresh, r, -poppedN, beforeRename = joinOverlapped))
+      seenRows += poppedN
+      val frontierRows = poolRows + seenRows
+      val newN = math.max(0L, frontierRows - math.max(frontierRowsHint, 0L))
+      writeLineage(r, perBucketCounts, poppedN, fetchedOk, errs, newN, frontierRows)
+      cached.unpersist()
+      return RoundStats(r, poppedN, fetchedOk, errs, newN, frontierRows, offeredN)
+    }
+
     val cands0 = Frontier.normalizeCandidates(thinned, cfg.numBuckets,
       cfg.respectRobots, dedup = cfg.useSeenFilter)
     // dirty buckets = buckets with pops or new candidates; ONLY their
@@ -563,9 +653,12 @@ class Crawler(
     // bucket, everything is dirty — skip the candidate-bucket scan (it was
     // a near-serial extra pass; new buckets a candidate opens are adopted
     // by the commit regardless, they have no old rows to lose).
+    // Delta-mode COMPACTION rounds always rewrite the whole table (the
+    // live deltas must be absorbed into new base files): dirty = None.
     val allBuckets = frontierTable.currentSnapshot().map(_.buckets.keySet).getOrElse(Set.empty)
     val poppedBuckets = perBucketCounts.map(_._1).toSet
-    val dense = allBuckets.nonEmpty && allBuckets.subsetOf(poppedBuckets)
+    val dense = deltaModeActive ||
+      (allBuckets.nonEmpty && allBuckets.subsetOf(poppedBuckets))
     // persist only when consumed more than once (sparse path's distinct
     // job, or the seen-filter's split + update passes)
     val multiPass = !dense || cfg.useSeenFilter
@@ -605,16 +698,10 @@ class Crawler(
           .unionByName(provablyNew)
       } else dropArchived(Frontier.mergeRound(frontierDirty, cands, popped, r, cfg.numBuckets))
     val poolNext = merged.filter(col("last_visit") === 0L)
-    // the overlapped politeness-state and seen-archive writes must land
-    // BEFORE the atomic manifest rename (torn-round replay consistency) —
-    // the hook joins them as late as possible, after the commit's own
-    // write + footer jobs, maximizing the overlap window
-    val joinOverlapped = () => {
-      joinStateWrite()
-      seenWrite.join()
-      if (seenWriteError != null) throw seenWriteError
-    }
-    val poolRows = timed("commit")(frontierTable.commit(poolNext, r, Some(dirty),
+    // delta-mode compaction is always a FULL commit (dirty = None): the
+    // live delta files must be absorbed into the new base files
+    val poolRows = timed("commit")(frontierTable.commit(poolNext, r,
+      if (deltaModeActive) None else Some(dirty),
       preClustered = !cfg.useSeenFilter, beforeRename = joinOverlapped))
     seenRows += poppedN
     val frontierRows = poolRows + seenRows
@@ -723,7 +810,15 @@ case class CrawlConfig(
       * default). The pool rewrite is encode-CPU- and fresh-page-bound in
       * different host regimes — the knob lets benches A/B zstd (fewest
       * bytes) against snappy/lz4 (least encode CPU). */
-    frontierCodec: String = "")
+    frontierCodec: String = "",
+    /** Delta-pool (LSM) mode: K > 1 makes K−1 of every K rounds append
+      * only the round's NEW urls as per-bucket sorted delta files (commit
+      * I/O O(delta + popped), the Iceberg MERGE-INTO/positional-delete
+      * shape), with the K-th round running the classic full merge as the
+      * compaction. Popped rows leave the pool logically via the exact
+      * seen-archive filter at read. 0/1 = classic per-round rewrite.
+      * Requires unique=true, sampler=fifo, useSeenFilter=false. */
+    poolDeltaRounds: Int = 1)
 
 case class RoundStats(
     round: Int,
