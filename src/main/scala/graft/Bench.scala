@@ -159,11 +159,17 @@ object Bench {
       // costs are exactly what the 4N side pays proportionally more for
       // per-bucket budget tracks the host count so bigger-round configs
       // aren't silently capped (default 20000 hosts → the historical 40000)
+      // delta pool K=3 (GRAFT_POOL_DELTA): with warmup + 2 measured rounds
+      // the measurement is one DELTA round (r2) + one COMPACTION round (r3)
+      // — the honest amortized mix, never delta-only. The delta rounds'
+      // commit I/O is O(new urls + popped) instead of the O(pool) base
+      // rewrite that was ~half the round wall (see BENCH.md).
       val cfg = CrawlConfig(numBuckets = 128, perHostBudget = 100,
         perBucketBudget = math.max(40000, benchHosts), sampler = "fifo", saltFactor = 0,
         storeFiles = false, parquetBlockBytes = 16L * 1024 * 1024,
         politenessRate = politeness, politenessBurst = math.max(1.0, politeness),
-        frontierCodec = sys.env.getOrElse("GRAFT_FRONTIER_CODEC", ""))
+        frontierCodec = sys.env.getOrElse("GRAFT_FRONTIER_CODEC", ""),
+        poolDeltaRounds = sys.env.getOrElse("GRAFT_POOL_DELTA", "3").toInt)
       val crawler = new Crawler(spark, work, sim, cfg)
       val seeds = spark.range(seedCount).select(
         concat(lit("http://h"),

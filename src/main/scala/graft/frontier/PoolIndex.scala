@@ -66,6 +66,17 @@ object PoolIndex {
   def contains(root: String, snapRound: Int, bucket: Int, url: UTF8String): Boolean =
     entryFor(root, snapRound, bucket).set.contains(url)
 
+  /** Peek-only probe (see [[SeenIndex.peek]]): true iff the bucket's set
+    * is already resident and contains `url`. A hit is exact evidence the
+    * url was EVER pooled (even across a stale base: ever-seen is
+    * monotone — pool members either stay pooled or move to the archive),
+    * so advisory early dropping is safe wherever the authoritative
+    * PoolIndexContains/SeenIndexContains pair still runs downstream. */
+  def peek(root: String, bucket: Int, url: UTF8String): Boolean = {
+    val e = cache.get((root, bucket))
+    e != null && e.set.contains(url)
+  }
+
   private def entryFor(root: String, snapRound: Int, bucket: Int): Entry = {
     val cur = currentRoot.get()
     if (cur != root) synchronized {

@@ -69,6 +69,25 @@ object SeenIndex {
   def contains(root: String, cutoff: Int, bucket: Int, url: UTF8String): Boolean =
     entryFor(root, cutoff, bucket).set.contains(url)
 
+  /** The bucket's loaded set (for callers probing many rows of one
+    * bucket — resolve once, probe a plain HashSet per row). */
+  def setFor(root: String, cutoff: Int, bucket: Int): java.util.HashSet[UTF8String] =
+    entryFor(root, cutoff, bucket).set
+
+  /** Peek-only probe: true iff the bucket's set is ALREADY resident and
+    * contains `url`. Never lists or loads anything — a miss is just "don't
+    * know". Every url the set ever holds is genuinely archived (the set
+    * only grows with real archive slices), so a hit is EXACT evidence of
+    * seen-ness regardless of the resident watermark — safe for advisory
+    * early dropping wherever the authoritative probe still runs
+    * downstream. Callers must not race loaders (the crawler's peeks run in
+    * the thinning stage, whose job is ordered after every load-triggering
+    * job of the round — see Crawler.peekEverSeen). */
+  def peek(root: String, bucket: Int, url: UTF8String): Boolean = {
+    val e = cache.get((root, bucket))
+    e != null && e.set.contains(url)
+  }
+
   private def entryFor(root: String, cutoff: Int, bucket: Int): Entry = {
     val cur = currentRoot.get()
     if (cur != root) synchronized {
@@ -187,11 +206,29 @@ case class SeenIndexContainsAt(left: Expression, right: Expression,
   override def nullable: Boolean = false
   override def prettyName: String = "seen_index_contains_at"
 
+  // single-slot memo: rows arrive bucket-clustered (sorted bucket files),
+  // so the per-row entry resolution (CHM lookup + watermark check) almost
+  // always hits the same bucket. One immutable pair read/written whole —
+  // a concurrent overwrite only costs a re-resolve, never a wrong set.
+  @transient @volatile
+  private var memo: (Int, java.util.HashSet[UTF8String]) = null
+
   override def eval(input: InternalRow): Any = {
     val u = left.eval(input)
     val b = right.eval(input)
     if (u == null || b == null) false
-    else SeenIndex.contains(root, cutoff, b.asInstanceOf[Int], u.asInstanceOf[UTF8String])
+    else {
+      val bucket = b.asInstanceOf[Int]
+      val m = memo
+      val set =
+        if (m != null && m._1 == bucket) m._2
+        else {
+          val s = SeenIndex.setFor(root, cutoff, bucket)
+          memo = (bucket, s)
+          s
+        }
+      set.contains(u.asInstanceOf[UTF8String])
+    }
   }
 
   override protected def withNewChildrenInternal(

@@ -116,7 +116,12 @@ class Crawler(
     * per-round physical rewrite. */
   private def poolView: DataFrame = {
     val raw = Frontier.restorePool(frontierTable.read(spark), cfg.numBuckets)
-    if (!deltaModeActive) raw
+    // stale (popped-but-not-compacted) rows exist only when rounds have
+    // popped since the last full commit — right after a compaction the
+    // base files are stale-free and the per-row probe is skipped entirely
+    val stale = deltaModeActive &&
+      frontierTable.currentSnapshot().exists(s => s.compactRound < s.round)
+    if (!stale) raw
     else raw.filter(!graft.functions.GraftExpressions.seen_index_contains_at(
       col("url"), col("host_bucket"), seenDir, lastRound))
   }
@@ -305,8 +310,12 @@ class Crawler(
         Frontier.popDeltaScan(popSource, cfg.perHostBudget),
         cfg.numBuckets, cfg.perHostBudget, cfg.perBucketBudget,
         st, r.toLong, cfg.politenessRate, cfg.politenessBurst)
+    // right after a compaction every bucket is ONE sorted file again — the
+    // classic single-pass fused pop applies and the two-stage form (extra
+    // exchange + sort) is skipped for that round
+    val deltasLive = frontierTable.currentSnapshot().exists(s => s.compactRound < s.round)
     val cached = (
-      if (deltaModeActive) {
+      if (deltaModeActive && deltasLive) {
         if (!gated) popDelta(None).drop("admit")
         else stateMap match {
           case Some(m) => popDelta(Some(spark.sparkContext.broadcast(m)))
@@ -593,6 +602,18 @@ class Crawler(
       // poppedN/2 ≈ per-task distinct links within a factor of a few;
       // capped at 2^22 slots (32 MB of refs) per task.
       val thinCap = math.min(1L << 22, math.max(1L << 10, poppedN / 2)).toInt
+      // peek pre-filter: in a saturating crawl most links re-discover
+      // already-seen pages, and each survivor costs exchange bytes + agg +
+      // probe work downstream. The emission filter drops urls the
+      // ALREADY-RESIDENT SeenIndex/PoolIndex sets know are seen — exact
+      // (hits are real archive/pool members; misses just pass through to
+      // the authoritative partition-local probes), peek-only (never loads
+      // a bucket — on a cluster an executor simply knows whatever its
+      // tasks loaded), and race-free (the thinning job is ordered after
+      // every load-triggering job of the round).
+      val seenRootB = s"$workDir/seen"
+      val poolRootB = frontierTable.root
+      val nbB = cfg.numBuckets
       rawNew.as[(String, Int, Long)].mapPartitions { it =>
         val best = new java.util.HashMap[String, java.lang.Long](thinCap)
         it.foreach { case (u, d, t) =>
@@ -601,10 +622,12 @@ class Crawler(
           if (prev == null || k < prev) best.put(u, k)
         }
         import scala.jdk.CollectionConverters._
-        best.entrySet().iterator().asScala.map { e =>
-          val k = e.getValue.longValue()
-          (e.getKey, (k >> 47).toInt, k & ((1L << 47) - 1))
-        }
+        best.entrySet().iterator().asScala
+          .filter(e => !Crawler.peekEverSeen(e.getKey, seenRootB, poolRootB, nbB))
+          .map { e =>
+            val k = e.getValue.longValue()
+            (e.getKey, (k >> 47).toInt, k & ((1L << 47) - 1))
+          }
       }.toDF("url", "depth", "discovered_at")
     }
     // ---- DELTA ROUND (LSM pool): append only the round's NEW urls as
@@ -775,6 +798,27 @@ class Crawler(
     else v.groupBy("url", "host", "host_bucket", "depth", "discovered_at")
       .agg(max("last_visit").as("last_visit"))
       .select(Frontier.schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+}
+
+object Crawler {
+  /** Advisory-exact ever-seen peek for the link-thinning emission filter:
+    * derive the url's bucket exactly like [[Frontier.hostBucket]]
+    * (xxhash64 seed 42 of the host, pmod numBuckets) and probe the
+    * resident [[graft.frontier.SeenIndex]]/[[graft.frontier.PoolIndex]]
+    * sets WITHOUT loading. False = unknown — the candidate proceeds to
+    * the authoritative partition-local probes. */
+  def peekEverSeen(url: String, seenRoot: String, poolRoot: String,
+      numBuckets: Int): Boolean = {
+    val host = graft.functions.UrlFns.hostOf(url)
+    if (host == null) return false
+    val hu = org.apache.spark.unsafe.types.UTF8String.fromString(host)
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(hu.getBaseObject, hu.getBaseOffset, hu.numBytes, 42L)
+    val b = (((h % numBuckets) + numBuckets) % numBuckets).toInt
+    val uu = org.apache.spark.unsafe.types.UTF8String.fromString(url)
+    graft.frontier.SeenIndex.peek(seenRoot, b, uu) ||
+      graft.frontier.PoolIndex.peek(poolRoot, b, uu)
   }
 }
 
