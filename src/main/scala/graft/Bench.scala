@@ -159,17 +159,19 @@ object Bench {
       // costs are exactly what the 4N side pays proportionally more for
       // per-bucket budget tracks the host count so bigger-round configs
       // aren't silently capped (default 20000 hosts → the historical 40000)
-      // delta pool K=3 (GRAFT_POOL_DELTA): with warmup + 2 measured rounds
-      // the measurement is one DELTA round (r2) + one COMPACTION round (r3)
-      // — the honest amortized mix, never delta-only. The delta rounds'
-      // commit I/O is O(new urls + popped) instead of the O(pool) base
-      // rewrite that was ~half the round wall (see BENCH.md).
+      // delta pool (GRAFT_POOL_DELTA, default off): K>1 runs the LSM
+      // frontier — O(new urls + popped) commit I/O with a compaction every
+      // K rounds. Measured A/B at shipped scale (BENCH.md round-4 delta
+      // section): delta wins the write-bound local[8] leg ~+10% but loses
+      // the CPU-bound local[32] leg ~15% (two-stage pop + resident
+      // pool-index GC), so the shipped default stays the classic rewrite;
+      // the crossover argument for the 10^10 design point is documented.
       val cfg = CrawlConfig(numBuckets = 128, perHostBudget = 100,
         perBucketBudget = math.max(40000, benchHosts), sampler = "fifo", saltFactor = 0,
         storeFiles = false, parquetBlockBytes = 16L * 1024 * 1024,
         politenessRate = politeness, politenessBurst = math.max(1.0, politeness),
         frontierCodec = sys.env.getOrElse("GRAFT_FRONTIER_CODEC", ""),
-        poolDeltaRounds = sys.env.getOrElse("GRAFT_POOL_DELTA", "3").toInt)
+        poolDeltaRounds = sys.env.getOrElse("GRAFT_POOL_DELTA", "1").toInt)
       val crawler = new Crawler(spark, work, sim, cfg)
       val seeds = spark.range(seedCount).select(
         concat(lit("http://h"),

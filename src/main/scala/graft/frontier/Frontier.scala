@@ -307,14 +307,16 @@ object Frontier {
   def popSortedFifoFlagged(frontier: DataFrame, perHostBudget: Int,
       perBucketBudget: Int,
       state: org.apache.spark.broadcast.Broadcast[java.util.HashMap[String, (Double, Long)]],
-      roundId: Long, ratePerRound: Double, burst: Double): DataFrame =
+      roundId: Long, ratePerRound: Double, burst: Double,
+      admitAcc: Option[graft.streaming.Politeness.AdmittedCountsAcc] = None): DataFrame =
     popSortedFifoImpl(frontier, perHostBudget, perBucketBudget, Some(state),
-      roundId, ratePerRound, burst)
+      roundId, ratePerRound, burst, admitAcc)
 
   private def popSortedFifoImpl(frontier: DataFrame, perHostBudget: Int,
       perBucketBudget: Int,
       state: Option[org.apache.spark.broadcast.Broadcast[java.util.HashMap[String, (Double, Long)]]],
-      roundId: Long, ratePerRound: Double, burst: Double): DataFrame = {
+      roundId: Long, ratePerRound: Double, burst: Double,
+      admitAcc: Option[graft.streaming.Politeness.AdmittedCountsAcc] = None): DataFrame = {
     import graft.model.Model.FrontierEntry
     import graft.streaming.Politeness
     import graft.streaming.Politeness.FlaggedEntry
@@ -363,6 +365,17 @@ object Frontier {
             else if (worstFirstF.lt(fe, h.head)) { h.dequeue(); h.enqueue(fe) }
           }
           prev = e
+        }
+        // side output: per-host admitted counts over the heap SURVIVORS
+        // (the exact host set + adm_n the former groupBy job computed),
+        // keyed by partitionId so re-execution overwrites idempotently
+        admitAcc.foreach { acc =>
+          val counts = new java.util.HashMap[String, java.lang.Long]()
+          heaps.valuesIterator.foreach(_.foreach { fe =>
+            counts.merge(fe.host, java.lang.Long.valueOf(if (fe.admit) 1L else 0L),
+              (a, b) => java.lang.Long.valueOf(a.longValue() + b.longValue()))
+          })
+          acc.add((org.apache.spark.TaskContext.getPartitionId(), counts))
         }
         heaps.valuesIterator.flatMap(_.iterator)
       }
@@ -451,12 +464,13 @@ object Frontier {
   def popSortedFifoDeltaFlagged(scanned: DataFrame, numBuckets: Int,
       perHostBudget: Int, perBucketBudget: Int,
       state: Option[org.apache.spark.broadcast.Broadcast[java.util.HashMap[String, (Double, Long)]]],
-      roundId: Long, ratePerRound: Double, burst: Double): DataFrame =
+      roundId: Long, ratePerRound: Double, burst: Double,
+      admitAcc: Option[graft.streaming.Politeness.AdmittedCountsAcc] = None): DataFrame =
     popSortedFifoImpl(
       scanned
         .repartition(numBuckets, bucketToken(col("host_bucket"), numBuckets))
         .sortWithinPartitions(col("host"), col("depth"), col("discovered_at"), col("url")),
-      perHostBudget, perBucketBudget, state, roundId, ratePerRound, burst)
+      perHostBudget, perBucketBudget, state, roundId, ratePerRound, burst, admitAcc)
 
   /**
    * One-pass round merge — the MERGE INTO formulation of

@@ -304,12 +304,22 @@ class Crawler(
     // streaming prefixes, then ONE O(popped + delta) exchange onto the
     // balanced bucket token and the same fused walker. Used for EVERY
     // round in delta mode (deltas may be live even on compaction rounds).
+    // per-host admitted counts ride the fused pop walker as an accumulator
+    // side output (idempotent by partition), replacing the separate
+    // cache-scan + shuffle job the state write used to run — a 5-7 s/round
+    // fixed cost at local[32] once the delta commit stopped masking it
+    val admitAcc =
+      if (gated && stateMap.isDefined && (sortedFifo || deltaModeActive)) {
+        val a = new graft.streaming.Politeness.AdmittedCountsAcc()
+        spark.sparkContext.register(a, s"admitted-hosts-r$r")
+        Some(a)
+      } else None
     def popDelta(st: Option[org.apache.spark.broadcast.Broadcast[
         java.util.HashMap[String, (Double, Long)]]]) =
       Frontier.popSortedFifoDeltaFlagged(
         Frontier.popDeltaScan(popSource, cfg.perHostBudget),
         cfg.numBuckets, cfg.perHostBudget, cfg.perBucketBudget,
-        st, r.toLong, cfg.politenessRate, cfg.politenessBurst)
+        st, r.toLong, cfg.politenessRate, cfg.politenessBurst, admitAcc)
     // right after a compaction every bucket is ONE sorted file again — the
     // classic single-pass fused pop applies and the two-stage form (extra
     // exchange + sort) is skipped for that round
@@ -329,7 +339,7 @@ class Crawler(
         case Some(m) if sortedFifo =>
           Frontier.popSortedFifoFlagged(popSource, cfg.perHostBudget,
             cfg.perBucketBudget, spark.sparkContext.broadcast(m), r.toLong,
-            cfg.politenessRate, cfg.politenessBurst)
+            cfg.politenessRate, cfg.politenessBurst, admitAcc)
         case Some(m) =>
           graft.streaming.Politeness.flagAdmissionsWithMap(
             popPlain(), m, r.toLong, cfg.politenessRate, cfg.politenessBurst)
@@ -466,23 +476,31 @@ class Crawler(
       val t = new Thread(() =>
         try stateMap match {
           case Some(m) =>
-            // driver-resident path: ONE tiny per-host aggregate over the
-            // cache (map-side combined), merged into the resident map on
-            // the driver with the same refill algebra as the column form
-            // — no state-parquet scan, no broadcast joins. The table is
-            // written host-sorted from the driver (canonical bytes: a
-            // torn-round replay rebuilds the identical file regardless of
-            // map iteration order), and the merged map seeds round r+1,
-            // whose state read + collect jobs disappear entirely.
-            val perHost = cached.groupBy(col("host"))
-              .agg(sum(when(col("admit"), 1L).otherwise(0L)).as("adm_n"))
-              .collect()
+            // driver-resident path: admitted counts come from the pop
+            // walker's accumulator side output (zero extra jobs — the
+            // former cache-scan aggregate is the fallback for pop forms
+            // that don't carry the accumulator), merged into the resident
+            // map with the same refill algebra as the column form. The
+            // table is written host-sorted DIRECTLY from the driver
+            // (canonical bytes; a 1-task Spark job queued seconds behind
+            // running stages for ~2 MB), and the merged map seeds round
+            // r+1, whose state read + collect jobs disappear entirely.
+            val counts: java.util.HashMap[String, java.lang.Long] = admitAcc match {
+              case Some(a) => a.flattened
+              case None =>
+                val perHost = cached.groupBy(col("host"))
+                  .agg(sum(when(col("admit"), 1L).otherwise(0L)).as("adm_n"))
+                  .collect()
+                val mm = new java.util.HashMap[String, java.lang.Long](perHost.length * 2)
+                perHost.foreach(row => mm.put(row.getString(0),
+                  java.lang.Long.valueOf(row.getLong(1))))
+                mm
+            }
             val merged = new java.util.HashMap[String, (Double, Long)](m)
-            perHost.foreach { row =>
-              val h = row.getString(0)
+            counts.forEach { (h, adm) =>
               val refilled = graft.streaming.Politeness.refillAmount(
                 merged.get(h), r.toLong, cfg.politenessRate, cfg.politenessBurst)
-              merged.put(h, (refilled - row.getLong(1), r.toLong))
+              merged.put(h, (refilled - adm.longValue(), r.toLong))
             }
             val rows = {
               import scala.jdk.CollectionConverters._
@@ -490,10 +508,8 @@ class Crawler(
                 .map(e => (e.getKey, e.getValue._1, e.getValue._2))
                 .toArray.sortBy(_._1)
             }
-            rows.toSeq.toDF("host", "tokens", "last_round")
-              .repartition(1)
-              .write.mode(SaveMode.Overwrite)
-              .parquet(s"$workDir/politeness/round-$r")
+            graft.streaming.Politeness.writeStateParquet(
+              s"$workDir/politeness/round-$r", rows)
             politenessCache =
               if (merged.size > broadcastStateMax) None else Some((r, merged))
           case None =>

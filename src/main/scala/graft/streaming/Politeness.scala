@@ -61,6 +61,98 @@ object Politeness {
   def robotsFilter(ds: Dataset[Candidate]): Dataset[Candidate] =
     ds.filter((c: Candidate) => UrlFns.robotsAllowed(c.url))
 
+  /**
+   * Per-host admitted counts collected AS A SIDE OUTPUT of the fused pop
+   * walker (an accumulator keyed by partitionId), replacing the separate
+   * `cached.groupBy(host).agg(...)` job the gated round used to pay at
+   * the round head's shadow — a full scan of the popped cache plus a
+   * shuffle, measured 5-7 s/round at local[32] once the delta-pool commit
+   * stopped masking it. Keyed by partition so cache rebuilds, task
+   * retries, and speculative attempts stay idempotent: a partition's map
+   * is deterministic, and re-adding it OVERWRITES rather than
+   * double-counts. Every host with a heap-surviving row appears (count 0
+   * if all its offers were rejected) — exactly the host set the groupBy
+   * produced, so the downstream refill algebra writes identical state.
+   */
+  /** The accumulator's value holder. The cheap [[toString]] is
+    * LOAD-BEARING: Spark's AppStatusListener stringifies every named
+    * accumulator's merged value ON EVERY TASK END and retains the string
+    * per task — a raw 60k-host map of maps OOM'd the driver through
+    * `LiveEntityHelpers.accuValuetoString` (measured). */
+  final class AdmittedCounts extends Serializable {
+    val byPartition =
+      new java.util.HashMap[Integer, java.util.HashMap[String, java.lang.Long]]()
+    override def toString: String = s"admitted-counts(${byPartition.size} partitions)"
+    /** Flatten across partitions (each host lives in exactly one bucket
+      * partition; summing is robustness, not semantics). */
+    def flattened: java.util.HashMap[String, java.lang.Long] = {
+      val flat = new java.util.HashMap[String, java.lang.Long]()
+      byPartition.values.forEach(pm => pm.forEach((h, c) =>
+        flat.merge(h, c, (a, b) => java.lang.Long.valueOf(a.longValue() + b.longValue()))))
+      flat
+    }
+  }
+
+  final class AdmittedCountsAcc extends org.apache.spark.util.AccumulatorV2[
+      (Int, java.util.HashMap[String, java.lang.Long]), AdmittedCounts] {
+    private val v = new AdmittedCounts
+    override def isZero: Boolean = v.byPartition.isEmpty
+    override def copy(): AdmittedCountsAcc = {
+      val c = new AdmittedCountsAcc
+      v.byPartition.forEach((k, m) => c.v.byPartition.put(k, new java.util.HashMap(m)))
+      c
+    }
+    override def reset(): Unit = v.byPartition.clear()
+    override def add(x: (Int, java.util.HashMap[String, java.lang.Long])): Unit =
+      v.byPartition.put(x._1, x._2)
+    override def merge(other: org.apache.spark.util.AccumulatorV2[
+        (Int, java.util.HashMap[String, java.lang.Long]), AdmittedCounts]): Unit =
+      other.value.byPartition.forEach((k, m) => v.byPartition.put(k, m))
+    override def value: AdmittedCounts = v
+    def flattened: java.util.HashMap[String, java.lang.Long] = v.flattened
+  }
+
+  /**
+   * Driver-side politeness-state parquet writer (schema host/tokens/
+   * last_round, one file, uncompressed, fixed name): the state table is
+   * O(hosts) rows the DRIVER already holds, and writing it through a
+   * 1-task Spark job queued the task behind whatever stage was running —
+   * seconds of wall for ~2 MB of bytes. Deterministic bytes (host-sorted
+   * input, fixed writer config) keep torn-round replay byte-identical.
+   */
+  def writeStateParquet(dir: String, rows: Array[(String, Double, Long)]): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.hadoop.metadata.CompressionCodecName
+    import org.apache.parquet.schema.MessageTypeParser
+    val d = java.nio.file.Paths.get(dir)
+    // overwrite semantics: clear any previous (possibly torn) round dir
+    if (java.nio.file.Files.exists(d)) {
+      val s = java.nio.file.Files.walk(d)
+      try {
+        val files = s.sorted(java.util.Comparator.reverseOrder())
+          .toArray(new Array[java.nio.file.Path](_))
+        files.foreach(java.nio.file.Files.deleteIfExists(_))
+      } finally s.close()
+    }
+    java.nio.file.Files.createDirectories(d)
+    val schema = MessageTypeParser.parseMessageType(
+      "message politeness { required binary host (UTF8); " +
+        "required double tokens; required int64 last_round; }")
+    val w = ExampleParquetWriter.builder(
+        new org.apache.hadoop.fs.Path(s"$dir/part-00000.parquet"))
+      .withConf(new org.apache.hadoop.conf.Configuration())
+      .withType(schema)
+      .withCompressionCodec(CompressionCodecName.UNCOMPRESSED)
+      .build()
+    val f = new SimpleGroupFactory(schema)
+    try rows.foreach { case (h, t, lr) =>
+      val g = f.newGroup()
+      g.append("host", h); g.append("tokens", t); g.append("last_round", lr)
+      w.write(g)
+    } finally w.close()
+  }
+
   /** Empty (host, tokens, last_round) state frame for [[throttleRound]]. */
   def emptyState(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.types._
