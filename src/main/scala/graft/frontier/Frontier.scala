@@ -383,10 +383,14 @@ object Frontier {
       .select("url", "host", "host_bucket", "depth", "discovered_at", "admit")
   }
 
-  /** Stage-1 row of the delta pop: a pool row plus the data file it came
-    * from (segment key — per-file runs are sorted, cross-file order isn't). */
+  /** Stage-1 row of the delta pop: a pool row plus the (data file, split
+    * start) it came from — the segment key. Per-SEGMENT runs are sorted;
+    * cross-segment order isn't: FilePartition packs splits length-descending,
+    * so two fragments of the SAME file can sit adjacent in one partition out
+    * of offset order — the file name alone would fuse them and trip the
+    * sortedness assertions. `input_file_block_start()` disambiguates. */
   case class PopScanRow(url: String, host: String, host_bucket: Int,
-      depth: Int, discovered_at: Long, file: String)
+      depth: Int, discovered_at: Long, file: String, file_off: Long)
 
   /**
    * Stage 1 of the DELTA-POOL pop: per (data file, host), stream the first
@@ -412,22 +416,25 @@ object Frontier {
       org.apache.spark.sql.Encoders.product[graft.model.Model.FrontierEntry]
     pool
       .select(col("url"), col("host"), col("host_bucket"), col("depth"),
-        col("discovered_at"), input_file_name().as("file"))
+        col("discovered_at"), input_file_name().as("file"),
+        input_file_block_start().as("file_off"))
       .as[PopScanRow]
       .mapPartitions { it =>
         var curFile: String = null
+        var curOff = -1L
         var curHost: String = null
         var curCount = 0
         var prevDepth = 0
         var prevAt = 0L
         var prevUrl: String = null
         it.flatMap { e =>
-          val newSegment = (e.file ne curFile) && e.file != curFile
+          val newSegment =
+            e.file_off != curOff || ((e.file ne curFile) && e.file != curFile)
           if (newSegment || e.host != curHost) {
             if (!newSegment && e.host < curHost)
               throw new IllegalStateException(
                 s"pool file ${e.file} not host-sorted: ${e.host} after $curHost")
-            if (newSegment) curFile = e.file
+            if (newSegment) { curFile = e.file; curOff = e.file_off }
             curHost = e.host; curCount = 0; prevUrl = null
           } else if (prevUrl != null &&
               (e.depth < prevDepth || (e.depth == prevDepth &&

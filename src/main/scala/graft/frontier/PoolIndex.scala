@@ -39,7 +39,12 @@ object PoolIndex {
   private final class Entry {
     var baseKey: String = null
     var maxDeltaRound: Int = Int.MinValue
-    val set = new java.util.HashSet[UTF8String]()
+    // concurrent set for the same reason as SeenIndex.Entry: peek() may
+    // read while a loader appends; compaction resets go through clear()
+    // under e.synchronized, and a racing peek across a reset can only see
+    // a subset — advisory-safe by the peek contract.
+    val set: java.util.Set[UTF8String] =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[UTF8String]()
   }
 
   private val cache = new java.util.concurrent.ConcurrentHashMap[(String, Int), Entry]()
@@ -53,15 +58,27 @@ object PoolIndex {
   /** The (immutable once written) manifest of `root` at `snapRound` —
     * cached per JVM; loud failure if the on-disk manifest moved past the
     * expected round (a probe constructed against a stale snapshot). */
-  private def snapshotAt(root: String, snapRound: Int): IcebergishTable.Snapshot =
-    manifests.computeIfAbsent((root, snapRound), { _ =>
-      val s = IcebergishTable.parseManifest(
-        java.nio.file.Files.readString(java.nio.file.Paths.get(root, "manifest.json")))
-      if (s.round != snapRound)
-        throw new IllegalStateException(
-          s"pool index expected manifest round $snapRound at $root, found ${s.round}")
-      s
-    })
+  private def snapshotAt(root: String, snapRound: Int): IcebergishTable.Snapshot = {
+    val cached = manifests.get((root, snapRound))
+    if (cached != null) return cached
+    val s = IcebergishTable.parseManifest(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(root, "manifest.json")))
+    if (s.round != snapRound)
+      throw new IllegalStateException(
+        s"pool index expected manifest round $snapRound at $root, found ${s.round}")
+    // bounded retention: keep only snapRound and snapRound-1 per root (a
+    // round's probes use snapRound = round-1; round-2 can still be in
+    // flight on a straggler task). Without this a long crawl accumulates
+    // one O(numBuckets) Snapshot per round per JVM — unbounded creep at
+    // the 10^4-5 bucket design point.
+    val it = manifests.keySet.iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      if (k._1 == root && k._2 < snapRound - 1) it.remove()
+    }
+    manifests.put((root, snapRound), s)
+    s
+  }
 
   def contains(root: String, snapRound: Int, bucket: Int, url: UTF8String): Boolean =
     entryFor(root, snapRound, bucket).set.contains(url)

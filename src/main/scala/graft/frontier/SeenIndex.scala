@@ -57,7 +57,12 @@ object SeenIndex {
 
   private final class Entry {
     var maxRound: Int = -1
-    val set = new java.util.HashSet[UTF8String]()
+    // concurrent set, not HashSet: peek() reads while entryFor() loaders may
+    // still be appending (a recomputed pop cache re-running contains_at
+    // probes during the overlapped thinning stage). Loads only ADD — a
+    // racing reader sees a safe subset, never a torn structure.
+    val set: java.util.Set[UTF8String] =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[UTF8String]()
   }
 
   private val cache = new java.util.concurrent.ConcurrentHashMap[(String, Int), Entry]()
@@ -71,7 +76,7 @@ object SeenIndex {
 
   /** The bucket's loaded set (for callers probing many rows of one
     * bucket — resolve once, probe a plain HashSet per row). */
-  def setFor(root: String, cutoff: Int, bucket: Int): java.util.HashSet[UTF8String] =
+  def setFor(root: String, cutoff: Int, bucket: Int): java.util.Set[UTF8String] =
     entryFor(root, cutoff, bucket).set
 
   /** Peek-only probe: true iff the bucket's set is ALREADY resident and
@@ -80,9 +85,11 @@ object SeenIndex {
     * only grows with real archive slices), so a hit is EXACT evidence of
     * seen-ness regardless of the resident watermark — safe for advisory
     * early dropping wherever the authoritative probe still runs
-    * downstream. Callers must not race loaders (the crawler's peeks run in
-    * the thinning stage, whose job is ordered after every load-triggering
-    * job of the round — see Crawler.peekEverSeen). */
+    * downstream. Racing a loader is safe: the backing set is concurrent
+    * and loads only ADD, so a racing peek sees a subset at worst (the
+    * crawler still orders its peeks after the round's load-triggering
+    * jobs — see Crawler.peekEverSeen — but a recomputed pop cache
+    * re-running loads mid-peek can no longer corrupt or hang). */
   def peek(root: String, bucket: Int, url: UTF8String): Boolean = {
     val e = cache.get((root, bucket))
     e != null && e.set.contains(url)
@@ -109,14 +116,14 @@ object SeenIndex {
     * reads just that chunk) into `into`. Missing dirs are fine: rounds with
     * zero admitted pops write no archive. */
   private def loadRoundSlice(root: String, r: Int, bucket: Int,
-      into: java.util.HashSet[UTF8String]): Unit =
+      into: java.util.Set[UTF8String]): Unit =
     loadUrlDir(
       java.nio.file.Paths.get(root, s"round=$r", s"host_bucket=$bucket").toString, into)
 
   /** Load the `url` column of every parquet file under `dir` into `into`
     * (shared with [[PoolIndex]]). Missing dirs are a no-op. */
   private[frontier] def loadUrlDir(dirPath: String,
-      into: java.util.HashSet[UTF8String]): Unit = {
+      into: java.util.Set[UTF8String]): Unit = {
     val dir = java.nio.file.Paths.get(dirPath)
     if (!java.nio.file.Files.exists(dir)) return
     val conf = new org.apache.hadoop.conf.Configuration()
@@ -211,7 +218,7 @@ case class SeenIndexContainsAt(left: Expression, right: Expression,
   // always hits the same bucket. One immutable pair read/written whole —
   // a concurrent overwrite only costs a re-resolve, never a wrong set.
   @transient @volatile
-  private var memo: (Int, java.util.HashSet[UTF8String]) = null
+  private var memo: (Int, java.util.Set[UTF8String]) = null
 
   override def eval(input: InternalRow): Any = {
     val u = left.eval(input)

@@ -119,6 +119,11 @@ object Politeness {
    * 1-task Spark job queued the task behind whatever stage was running —
    * seconds of wall for ~2 MB of bytes. Deterministic bytes (host-sorted
    * input, fixed writer config) keep torn-round replay byte-identical.
+   *
+   * Filesystem note: the dir clear uses java.nio (local/NFS paths only —
+   * the same assumption IcebergishTable's manifest writes make), but the
+   * parquet writer resolves through the active session's Hadoop conf so
+   * spark.hadoop.* tuning applies like every other writer's.
    */
   def writeStateParquet(dir: String, rows: Array[(String, Double, Long)]): Unit = {
     import org.apache.parquet.example.data.simple.SimpleGroupFactory
@@ -141,7 +146,9 @@ object Politeness {
         "required double tokens; required int64 last_round; }")
     val w = ExampleParquetWriter.builder(
         new org.apache.hadoop.fs.Path(s"$dir/part-00000.parquet"))
-      .withConf(new org.apache.hadoop.conf.Configuration())
+      .withConf(org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sessionState.newHadoopConf())
+        .getOrElse(new org.apache.hadoop.conf.Configuration()))
       .withType(schema)
       .withCompressionCodec(CompressionCodecName.UNCOMPRESSED)
       .build()
