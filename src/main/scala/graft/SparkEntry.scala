@@ -598,6 +598,19 @@ object SparkEntry {
     "q61_mixture_sample" -> ((s, dir) => {
       Corpus.mixtureSample(t(s, dir, "documents"), k = 100)
         .orderBy("domain", "rk")
+    }),
+
+    // REAL-codec media roundtrip: seeded rasters/PCM → genuine PNG/WAV
+    // bytes (javax.imageio / javax.sound.sampled) → real decode →
+    // integer pixel/sample statistics. The oracle never decodes: it
+    // derives the SAME statistics from the seeded integer formula, so a
+    // hash match proves the Spark side's encode→codec→decode roundtrip
+    // preserved every pixel and sample (the q32 stub tier stays for
+    // non-JDK formats).
+    "q62_real_media_features" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      Multimodal.mediaFeatures(Multimodal.realMediaFromDocs(t(s, dir, "documents")))
+        .orderBy("media_id")
     }))
 
   /** q30's oracle: the full IVF pipeline — seeded k-means (4 Lloyd
@@ -1733,7 +1746,59 @@ object SparkEntry {
         |  FROM documents doc JOIN quota q ON q.domain = doc.source
         |  WHERE q.quota > 0)
         |SELECT doc_id, domain, rk::BIGINT AS rk, quota::BIGINT AS quota
-        |FROM drawn WHERE rk <= quota ORDER BY domain, rk""".stripMargin)
+        |FROM drawn WHERE rk <= quota ORDER BY domain, rk""".stripMargin,
+
+    "q62_real_media_features" -> q62OracleSql)
+
+  /** q62's oracle: expected pixel/channel and PCM-sample statistics from
+    * the SAME seeded integer formula [[graft.operators.Multimodal
+    * .recipeOf]]/pixelRgb/sampleAt use — the oracle never decodes a byte;
+    * the Spark side's ImageIO/AudioSystem encode→decode roundtrip is
+    * exactly what a hash match proves. seed32 = first 8 md5 hex chars
+    * (32-bit, so BIGINT arithmetic is exact on both engines); all outputs
+    * BIGINT — no floats near the hash. */
+  private def q62OracleSql: String = {
+    val hexdig = "0123456789abcdef"
+    // Σ_{i=1..8} digit(seedhex[i]) · 16^(8-i) — unrolled like q32's bytes
+    val seedTerms = (1 to 8).map { i =>
+      val pow = 1L << (4 * (8 - i))
+      s"(strpos('$hexdig', seedhex[$i]) - 1) * $pow"
+    }.mkString("\n        + ")
+    val rate = graft.operators.Multimodal.wavSampleRate
+    s"""WITH m AS (
+        |  SELECT doc_id::VARCHAR AS media_id,
+        |         md5(doc_id::VARCHAR || '|' || substr(text, 1, 64)) AS seedhex
+        |  FROM documents),
+        |sd AS (
+        |  SELECT media_id,
+        |    ( $seedTerms ) AS seed32
+        |  FROM m),
+        |rec AS (
+        |  SELECT media_id, seed32 % 1000003 AS s,
+        |    seed32 % 2 = 0 AS is_png,
+        |    8 + seed32 % 9 AS w, 8 + (seed32 // 16) % 9 AS hgt,
+        |    64 + seed32 % 129 AS n
+        |  FROM sd),
+        |img AS (
+        |  SELECT media_id, 'image' AS kind, w AS d1, hgt AS d2,
+        |    SUM((s * 31 + x.j * 7  + y.j * 13) % 256)::BIGINT AS s1,
+        |    SUM((s * 17 + x.j * 11 + y.j * 5)  % 256)::BIGINT AS s2,
+        |    SUM((s * 13 + x.j * 3  + y.j * 29) % 256)::BIGINT AS s3
+        |  FROM rec, range(0, 16) x(j), range(0, 16) y(j)
+        |  WHERE is_png AND x.j < w AND y.j < hgt
+        |  GROUP BY 1, 2, 3, 4),
+        |aud AS (
+        |  SELECT media_id, 'audio' AS kind, n AS d1, $rate AS d2,
+        |    SUM(((s * 131 + i.j * 7919) % 65536) - 32768)::BIGINT AS s1,
+        |    SUM(abs(((s * 131 + i.j * 7919) % 65536) - 32768))::BIGINT AS s2,
+        |    SUM(0)::BIGINT AS s3
+        |  FROM rec, range(0, 193) i(j)
+        |  WHERE NOT is_png AND i.j < n
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT media_id, kind, d1::BIGINT AS d1, d2::BIGINT AS d2, s1, s2, s3
+        |FROM (SELECT * FROM img UNION ALL SELECT * FROM aud)
+        |ORDER BY media_id""".stripMargin
+  }
 
   private def q32OracleSql: String = {
     import graft.operators.Multimodal.{defaultBytesPerDoc, headerBytes}

@@ -9,12 +9,19 @@ import org.apache.spark.sql.functions._
  * `binary` columns with a typed metadata struct; decode / feature-extract /
  * resize / frame-sample run partition-wise over the binary batches.
  *
- * The image/audio codecs are NOT in this container, so the byte-level
- * decode is a clearly-marked deterministic STUB (`decodeStub`); everything
- * Spark-side — schema, binary column handling, mime sniffing (magic
- * bytes), partitioning, the mapPartitions batch shape, output feature
- * vectors — is real and tested. Swapping `decodeStub` for a JNI/javacv
- * decoder changes one function.
+ * Codec reality, two tiers:
+ *  - PNG and WAV are REAL here — the JDK ships `javax.imageio` and
+ *    `javax.sound.sampled`, so [[realMediaFromDocs]] encodes genuine PNG
+ *    rasters / PCM WAVs and [[mediaFeatures]] decodes them back through
+ *    the actual codecs (q62's encode→decode roundtrip is what the oracle
+ *    verifies: both sides derive expected pixel/sample statistics from
+ *    the same seeded integer formula, but only the Spark side ever
+ *    touches bytes).
+ *  - JPEG-with-exif / video remain outside this container; their path is
+ *    the clearly-marked deterministic STUB tier (`decodeStub`,
+ *    `frameSampleStub`) that keeps the real batch shape, signature and
+ *    schema. Swapping a stub for a JNI/javacv decoder changes one
+ *    function.
  *
  * Scale notes: binary payloads dominate row size → media tables must
  * repartition by a size-balanced key before wide ops (`repartitionForMedia`),
@@ -96,11 +103,213 @@ object Multimodal {
   def repartitionForMedia(media: DataFrame, partitions: Int): DataFrame =
     media.repartition(partitions, xxhash64(col("media_id")))
 
+  // ==================== REAL JDK CODECS (q62) =====================
+  // PNG via javax.imageio, WAV via javax.sound.sampled — both in the
+  // bare JDK, no external tools. The generation formulas are integer
+  // arithmetic a SQL oracle replays exactly; the ONLY thing the oracle
+  // cannot do is decode, so a hash match proves the Spark side's
+  // encode→codec→decode roundtrip preserved every pixel/sample.
+  // ================================================================
+
+  /** Audio sample rate for synthetic WAVs (hertz; also the oracle's d2). */
+  val wavSampleRate: Int = 16000
+
+  /** The seeded-media recipe shared by [[realMediaFromDocs]] and the q62
+    * oracle SQL. seed32 = first 8 hex chars of md5(doc_id || '|' ||
+    * text.take(64)) — 32 bits so BIGINT arithmetic is exact on both
+    * sides; s = seed32 % 1000003 keeps every product far from overflow. */
+  case class MediaRecipe(seed32: Long, s: Long, isPng: Boolean,
+      width: Int, height: Int, nSamples: Int)
+
+  def recipeOf(docId: String, text: String): MediaRecipe = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val digest = md.digest((docId + "|" + text.take(64))
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val sb = new java.lang.StringBuilder(8)
+    (0 until 4).foreach(i => sb.append(f"${digest(i) & 0xff}%02x"))
+    val seed32 = java.lang.Long.parseLong(sb.toString, 16)
+    MediaRecipe(
+      seed32 = seed32,
+      s = seed32 % 1000003L,
+      isPng = seed32 % 2 == 0,
+      width = (8 + seed32 % 9).toInt,
+      height = (8 + (seed32 / 16) % 9).toInt,
+      nSamples = (64 + seed32 % 129).toInt)
+  }
+
+  /** Pixel (x, y) of a seeded raster — packed 0xRRGGBB. Pure integer
+    * formula (mirrored in the q62 oracle SQL); PNG truecolor is lossless
+    * so the decode returns these exact channel values. */
+  def pixelRgb(s: Long, x: Int, y: Int): Int = {
+    val r = ((s * 31 + x * 7 + y * 13) % 256).toInt
+    val g = ((s * 17 + x * 11 + y * 5) % 256).toInt
+    val b = ((s * 13 + x * 3 + y * 29) % 256).toInt
+    (r << 16) | (g << 8) | b
+  }
+
+  /** Sample i of a seeded PCM stream — signed 16-bit. 16-bit PCM WAV is
+    * lossless, so the decode returns these exact values. */
+  def sampleAt(s: Long, i: Int): Int =
+    (((s * 131 + i * 7919L) % 65536L) - 32768L).toInt
+
+  /** Encode one seeded raster as a REAL PNG (javax.imageio). */
+  def encodePng(rec: MediaRecipe): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      rec.width, rec.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < rec.height) {
+      var x = 0
+      while (x < rec.width) { img.setRGB(x, y, pixelRgb(rec.s, x, y)); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream(1024)
+    if (!javax.imageio.ImageIO.write(img, "png", out))
+      throw new IllegalStateException("JDK PNG writer missing")
+    out.toByteArray
+  }
+
+  /** Encode one seeded PCM stream as a REAL 16-bit mono WAV
+    * (javax.sound.sampled). */
+  def encodeWav(rec: MediaRecipe): Array[Byte] = {
+    val pcm = new Array[Byte](rec.nSamples * 2)
+    var i = 0
+    while (i < rec.nSamples) {
+      val v = sampleAt(rec.s, i)
+      pcm(2 * i) = (v & 0xff).toByte            // little-endian
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      wavSampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, rec.nSamples.toLong)
+    val out = new java.io.ByteArrayOutputStream(1024)
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Deterministic REAL-media corpus from a docs table: genuine PNGs for
+    * even seeds, genuine WAVs for odd — same narrow per-row shape as
+    * [[mediaFromDocs]], but the bytes go through actual JDK encoders. */
+  def realMediaFromDocs(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("string"), col("text")).as[(String, String)]
+      .map { case (id, text) =>
+        val rec = recipeOf(id, text)
+        if (rec.isPng)
+          MediaRow(id, "image", encodePng(rec),
+            MediaMeta(rec.width, rec.height, 0L, 0))
+        else
+          MediaRow(id, "audio", encodeWav(rec),
+            MediaMeta(0, 0, rec.nSamples * 1000L / wavSampleRate, wavSampleRate))
+      }
+  }
+
+  /** One decoded media row: unified integer feature columns so image and
+    * audio share a schema the oracle can reproduce —
+    * image: d1/d2 = width/height, s1/s2/s3 = channel sums (R, G, B);
+    * audio: d1/d2 = n_samples/sample_rate, s1 = Σ sample, s2 = Σ |sample|,
+    * s3 = 0. All BIGINT-exact: no floats anywhere near the hash. */
+  case class DecodedFeatures(media_id: String, kind: String,
+      d1: Long, d2: Long, s1: Long, s2: Long, s3: Long)
+
+  /** REAL decode → integer feature statistics. `kind` is derived from the
+    * DECODE (magic sniff chooses the codec; the codec must then succeed),
+    * not copied from the input — the codec path is load-bearing.
+    * Narrow mapPartitions, zero shuffle, decoder state per partition. */
+  def mediaFeatures(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val bytes = m.bytes
+        val isPng = bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 &&
+          bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G'
+        if (isPng) {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          if (img == null) throw new IllegalStateException(
+            s"media ${m.media_id}: PNG magic but ImageIO could not decode")
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          DecodedFeatures(m.media_id, "image",
+            img.getWidth.toLong, img.getHeight.toLong, sr, sg, sb)
+        } else {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val fmt = ais.getFormat
+            if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1)
+              throw new IllegalStateException(
+                s"media ${m.media_id}: expected 16-bit mono PCM, got $fmt")
+            val pcm = ais.readAllBytes()
+            val n = pcm.length / 2
+            var sum = 0L; var sabs = 0L
+            var i = 0
+            while (i < n) {
+              val lo = pcm(2 * i) & 0xff
+              val hi = pcm(2 * i + 1).toInt // sign-extends the high byte
+              val v = (hi << 8) | lo
+              sum += v; sabs += math.abs(v)
+              i += 1
+            }
+            DecodedFeatures(m.media_id, "audio",
+              n.toLong, fmt.getSampleRate.toLong, sum, sabs, 0L)
+          } finally ais.close()
+        }
+      }
+    }.toDF()
+  }
+
+  /** REAL image resize: decode, area-average rescale so the longer edge is
+    * ≤ `maxDim`, re-encode as PNG with updated meta. Audio rows pass
+    * through. Feature-preservation is NOT promised (resampling mixes
+    * pixels) — the contract is that the output is itself a valid PNG with
+    * the requested geometry, which the spec re-decodes to prove. */
+  def resizeImages(media: Dataset[MediaRow], maxDim: Int): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.map { m =>
+      if (m.kind != "image") m
+      else {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.bytes))
+        if (img == null) throw new IllegalStateException(
+          s"media ${m.media_id}: cannot decode for resize")
+        if (img.getWidth <= maxDim && img.getHeight <= maxDim) m
+        else {
+          val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
+          val w = math.max(1, math.round(img.getWidth * scale).toInt)
+          val h = math.max(1, math.round(img.getHeight * scale).toInt)
+          val scaled = img.getScaledInstance(w, h, java.awt.Image.SCALE_AREA_AVERAGING)
+          val out = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g2 = out.createGraphics()
+          try g2.drawImage(scaled, 0, 0, null) finally g2.dispose()
+          val bos = new java.io.ByteArrayOutputStream(1024)
+          javax.imageio.ImageIO.write(out, "png", bos)
+          m.copy(bytes = bos.toByteArray, meta = m.meta.copy(width = w, height = h))
+        }
+      }
+    }
+  }
+
   // ======================== STUB BOUNDARY =========================
-  // A real deployment decodes here (libjpeg/ffmpeg via JNI). This sandbox
-  // has no codecs: decodeStub produces a DETERMINISTIC FAKE "decode" — a
-  // 64-bin byte histogram — preserving the exact batch shape, signature,
-  // and output schema a real decoder would have.
+  // The tier for formats the JDK does NOT ship (jpeg-exif, video):
+  // decodeStub produces a DETERMINISTIC FAKE "decode" — a 64-bin byte
+  // histogram — preserving the exact batch shape, signature, and output
+  // schema a real (libjpeg/ffmpeg-JNI) decoder would have. The PNG/WAV
+  // path above decodes for real; q32 keeps exercising this stub tier so
+  // both contracts stay verified.
   // =================================================================
 
   /** STUB: fake decode → fixed-size float feature vector (byte histogram,
@@ -128,16 +337,6 @@ object Multimodal {
       // per-partition decoder context would be created HERE (once, reused)
       it.map(m => MediaFeatures(m.media_id, m.kind, decodeStub(m.bytes)))
     }
-  }
-
-  /** STUB: resize — a real impl rescales pixels; the stub re-headers and
-    * truncates deterministically, keeping the binary-in/binary-out shape. */
-  def resizeStub(media: Dataset[MediaRow], maxBytes: Int): Dataset[MediaRow] = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    media.map(m => m.copy(bytes = m.bytes.take(maxBytes),
-      meta = m.meta.copy(width = math.min(m.meta.width, 256),
-        height = math.min(m.meta.height, 256))))
   }
 
   /** STUB: frame sampling — emits `n` evenly-spaced byte-window "frames"

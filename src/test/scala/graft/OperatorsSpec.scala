@@ -477,13 +477,70 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
-  test("multimodal: frame sampling emits n frames per row; resize caps bytes") {
+  test("multimodal: frame sampling emits n frames per row") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(5)
     val media = Multimodal.mediaFromDocs(docs)
     val frames = Multimodal.frameSampleStub(media, 4)
     assert(frames.count() == 20)
-    val resized = Multimodal.resizeStub(media, 64).collect()
-    resized.foreach(m => assert(m.bytes.length <= 64))
+  }
+
+  test("multimodal: REAL PNG/WAV roundtrip — decoded stats equal the seeded formula") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+    val media = Multimodal.realMediaFromDocs(docs)
+    // real containers: PNG magic / RIFF..WAVE, not our synthetic stubs
+    media.collect().foreach { m =>
+      if (m.kind == "image")
+        assert((m.bytes(0) & 0xff) == 0x89 && m.bytes(1) == 'P')
+      else {
+        assert(new String(m.bytes.slice(0, 4), "ASCII") == "RIFF")
+        assert(new String(m.bytes.slice(8, 12), "ASCII") == "WAVE")
+      }
+    }
+    val feats = Multimodal.mediaFeatures(media).collect()
+      .map(r => r.getAs[String]("media_id") -> r).toMap
+    val idText = docs.select("doc_id", "text").collect()
+      .map(r => (r.get(0).toString, r.getAs[String]("text")))
+    assert(feats.size == idText.length)
+    idText.foreach { case (id, text) =>
+      val rec = Multimodal.recipeOf(id, text)
+      val f = feats(id)
+      if (rec.isPng) {
+        assert(f.getAs[String]("kind") == "image")
+        assert(f.getAs[Long]("d1") == rec.width && f.getAs[Long]("d2") == rec.height)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        for (y <- 0 until rec.height; x <- 0 until rec.width) {
+          val rgb = Multimodal.pixelRgb(rec.s, x, y)
+          sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+        }
+        assert(f.getAs[Long]("s1") == sr && f.getAs[Long]("s2") == sg &&
+          f.getAs[Long]("s3") == sb, s"pixel sums diverged for $id")
+      } else {
+        assert(f.getAs[String]("kind") == "audio")
+        assert(f.getAs[Long]("d1") == rec.nSamples)
+        assert(f.getAs[Long]("d2") == Multimodal.wavSampleRate)
+        val samples = (0 until rec.nSamples).map(Multimodal.sampleAt(rec.s, _))
+        assert(f.getAs[Long]("s1") == samples.map(_.toLong).sum)
+        assert(f.getAs[Long]("s2") == samples.map(v => math.abs(v).toLong).sum)
+        assert(f.getAs[Long]("s3") == 0L)
+      }
+    }
+  }
+
+  test("multimodal: real resize caps the longer edge and stays decodable") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(30)
+    val media = Multimodal.realMediaFromDocs(docs)
+    val resized = Multimodal.resizeImages(media, maxDim = 10).collect()
+    assert(resized.exists(_.kind == "image"))
+    resized.filter(_.kind == "image").foreach { m =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.bytes))
+      assert(img != null, s"${m.media_id} not decodable after resize")
+      assert(math.max(img.getWidth, img.getHeight) <= 10)
+      assert(img.getWidth == m.meta.width && img.getHeight == m.meta.height)
+    }
+    // audio passes through untouched
+    val before = media.collect().filter(_.kind == "audio").map(m => m.media_id -> m.bytes.toSeq).toMap
+    resized.filter(_.kind == "audio").foreach(m =>
+      assert(m.bytes.toSeq == before(m.media_id)))
   }
 
   // ---- dedup groups (connected components) ----
