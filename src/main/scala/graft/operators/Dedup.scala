@@ -100,16 +100,41 @@ object Dedup {
     .select("doc_id", "sz", "h")
     // candidates: share ≥1 prefix shingle key, sizes within ratio t (ids
     // only — the ~KB shingle arrays re-attach AFTER pair dedup, in
-    // attachAndVerify)
+    // attachAndVerify), then the PPJoin-style count filter (below) prunes
+    // pairs the verify step could never pass
     val l = prefixToks.select(col("h"), col("doc_id").as("a_id"), col("sz").as("a_sz"))
     val r = prefixToks.select(col("h"), col("doc_id").as("b_id"), col("sz").as("b_sz"))
     val candIds = l.join(r, Seq("h"))
     .filter(col("a_id") < col("b_id") &&
       col("b_sz") >= lit(threshold) * col("a_sz") &&
       col("a_sz") >= lit(threshold) * col("b_sz"))
-    .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
+    .groupBy("a_id", "b_id", "a_sz", "b_sz")
+    .agg(count(lit(1)).as("c"))
+    .filter(candUpperBound(threshold) >= minOverlap(threshold))
+    .select("a_id", "b_id")
     attachAndVerify(candIds, prep.select(col("doc_id"), col("sh")), threshold)
   }
+
+  /** PPJoin-family count-filter upper bound on a candidate pair's true
+    * overlap: `c` shared PREFIX keys were observed (the groupBy counts
+    * them — the same exchange the old dropDuplicates paid), and any
+    * further shared shingle must live in BOTH suffixes, of which doc x
+    * has exactly `ceil(t·sz_x) − 1` elements (sz − prefix length, written
+    * with the SAME `ceil(lit(t)·sz)` expression the prefix filter uses so
+    * the arithmetic is bit-identical). A 64-bit key collision can only
+    * RAISE c — never drops a true pair. At t = 0.5 the prefix is half of
+    * every doc, so near-miss pairs sharing a couple of rare shingles die
+    * here instead of riding two array-attach joins into the
+    * `jaccard_sorted` merge (q33/q48's dominant tail, VERDICT r4 #2). */
+  private def candUpperBound(threshold: Double): Column =
+    col("c") + least(ceil(lit(threshold) * col("a_sz")),
+      ceil(lit(threshold) * col("b_sz"))) - 1
+
+  /** Minimum intersection size J ≥ t implies: inter ≥ t/(1+t)·(sz_a+sz_b).
+    * The 1e-6 slack makes FP rounding err on the KEEP side only — an
+    * extra candidate costs one verify; a lost one would cost recall. */
+  private def minOverlap(threshold: Double): Column =
+    ceil(lit(threshold / (1 + threshold)) * (col("a_sz") + col("b_sz")) - lit(1e-6))
 
   /** Two-pointer Jaccard over two sorted-distinct arrays, rounded 6dp
     * HALF_UP (matches Spark/DuckDB `round`). */
@@ -310,6 +335,17 @@ object Dedup {
     def symmetric(p: DataFrame): DataFrame =
     p.union(p.select(col("v").as("u"), col("u").as("v")))
       .filter(col("u") =!= col("v")).distinct()
+    // first closure WITHOUT the distinct exchange: every in-repo pair
+    // producer emits canonical (a_id < b_id) deduplicated pairs, so the
+    // union with its reverse is already duplicate-free — one full shuffle
+    // of the input edge set saved before the loop starts. A non-canonical
+    // caller (dupes / reversed pairs) still gets correct labels: the star
+    // ops' min-aggregates ignore row multiplicity and iteration 1's
+    // closure distincts, so dupes survive at most one iteration.
+    def symmetricOfCanonical(p: DataFrame): DataFrame =
+    p.filter(col("u") =!= col("v"))
+      .union(p.filter(col("u") =!= col("v"))
+        .select(col("v").as("u"), col("u").as("v")))
     // large-star: every node v ∈ Γ(u) with v > u re-attaches to
     // m(u) = min(Γ(u) ∪ {u}). Input must be the symmetric closure.
     def largeStar(e: DataFrame): DataFrame = {
@@ -342,7 +378,7 @@ object Dedup {
     val xr = m("xr") match { case null => 0L; case x => x.asInstanceOf[Long] }
     (cp, (m("cnt").asInstanceOf[Long], xr))
     }
-    var (e, sig) = checkpointed(symmetric(p0))
+    var (e, sig) = checkpointed(symmetricOfCanonical(p0))
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {
@@ -484,6 +520,8 @@ object Dedup {
     round(graft.operators.TextOps.qualityScore(col("text")) * lit(1e6))
       .cast("long").as("q_micro"))
     val member = groups.select(col("doc_id"), col("group_id")).join(scored, "doc_id")
+      .persist() // scanned twice (argmax agg + flag re-join) — without the
+                 // pin the docs scan and qualityScore pass run twice
     // min(struct(-q, id)): max quality, ties → min doc_id — and doc_id may
     // be any ordered type (string ids work), only q_micro gets negated
     val best = member.groupBy("group_id")
@@ -563,7 +601,14 @@ object Dedup {
     val candIds = l.join(r, Seq("h"))
       .filter(col("a_sz") >= lit(threshold) * col("i_sz") &&
         col("i_sz") >= lit(threshold) * col("a_sz"))
-      .select("i_id", "a_id").dropDuplicates("i_id", "a_id")
+      // PPJoin count filter (see candUpperBound): same bound with the
+      // cross-table (i, a) pair in place of (a, b)
+      .groupBy("i_id", "a_id", "i_sz", "a_sz")
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") + least(ceil(lit(threshold) * col("i_sz")),
+          ceil(lit(threshold) * col("a_sz"))) - 1 >=
+        ceil(lit(threshold / (1 + threshold)) * (col("i_sz") + col("a_sz")) - lit(1e-6)))
+      .select("i_id", "a_id")
     val iArr = tagged.filter(col("side") === "i")
       .select(col("doc_id").as("i_id"), col("sh").as("sh_i"))
     val aArr = tagged.filter(col("side") === "a")
