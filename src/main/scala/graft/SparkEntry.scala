@@ -579,15 +579,19 @@ object SparkEntry {
     // Incremental cross-snapshot dedup: today's slice (md5 'snap:' 20%
     // split) vs the standing archive — exact tier broadcasts the
     // INCOMING fingerprint dim so the archive streams map-side (the
-    // PB-vs-TB inversion); near tier is the cross-table PPJoin prefix
-    // filter with complete recall, so the oracle is brute force.
+    // PB-vs-TB inversion); near tier probes a PREBUILT archive prefix
+    // index (frozen rarest-first order, hash-partitioned postings —
+    // per-slice work O(slice + probed postings), the archive is never
+    // re-shingled/re-ranked; round-5 form, VERDICT r4 #3). Recall stays
+    // complete, so the oracle is still pure brute force, and the
+    // recompute path is pinned row-identical by the OperatorsSpec
+    // equivalence test.
     "q60_incremental_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val snap = conv(substring(md5(concat(lit("snap:"),
         col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 5
-      Dedup.incrementalDedup(
-        archive = docs.filter(snap =!= 0),
-        incoming = docs.filter(snap === 0))
+      val index = Dedup.buildArchiveIndex(docs.filter(snap =!= 0))
+      Dedup.incrementalDedupIndexed(index, incoming = docs.filter(snap === 0))
         .orderBy("doc_id")
     }),
 
