@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run mains (Bench/Verify) inherit stdout DIRECTLY instead of
+// being piped through sbt's logger: the logger prefixes every line with
+// "[info] ", which breaks any line-wise json.loads on Bench's one-line
+// JSON contract (the driver's BENCH_r{3,4}.json captures parsed to null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -345,11 +345,15 @@ object Bench {
       * integer URL rates — per-pair arrays kept ONLY for the raw
       * efficiencies (the gate's evidence). Brace-free so the HEADLINE
       * campaign's fields inline at the `crawl` top level (the graded
-      * `crawl.scaling_efficiency` path must stay where r1-r3 put it). */
+      * `crawl.scaling_efficiency` path must stay where r1-r3 put it).
+      * urls_n/sec_n dropped from the compact form in round 5 (rates carry
+      * the same information; absolute pops/secs live in the detail
+      * sidecar) — every byte here buys margin inside the driver's 2000-
+      * char tail capture, which truncated the r4 line. */
     def compactFields: String =
       s""""n_cores":$nLow,"n4_cores":$nHigh,""" +
-        s""""urls_n":$popLow,"sec_n":${jd(secLow, 2)},"urls_per_sec_n":${thrLow.toLong},""" +
-        s""""urls_n4":$popHigh,"sec_n4":${jd(secHigh, 2)},"urls_per_sec_n4":${thrHigh.toLong},""" +
+        s""""urls_per_sec_n":${thrLow.toLong},""" +
+        s""""urls_per_sec_n4":${thrHigh.toLong},""" +
         s""""scaling_efficiency":${jd(eff, 3)},""" +
         s""""pair_efficiencies":${pairEffs.map(jd(_, 3)).mkString("[", ",", "]")},""" +
         s""""hw_ceiling_efficiency":${jd(hwEff, 3)},""" +
@@ -526,6 +530,15 @@ object Bench {
     def qsJson(dp: Int): String = results
       .map { case (k, v) => "\"" + k + "\":" + (if (v < 0) "-1" else jd(v, dp)) }
       .mkString("{", ",", "}")
+    // SHORT keys (q01..q62) for the stdout line: with 53 queries the full
+    // names alone overflow the driver's 2000-char tail capture (BENCH_r04
+    // arrived truncated and unparseable — r4 verdict finding #1). Every
+    // timing is still present; the name↔key map is the qNN_ prefix and
+    // the detail sidecar carries full names at 4 decimals.
+    def qsJsonShort(dp: Int): String = results
+      .map { case (k, v) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + (if (v < 0) "-1" else jd(v, dp)) }
+      .mkString("{", ",", "}")
 
     // ---- output: ONE compact stdout line (fits the driver's ~2 KB tail
     // capture — full 38-query object + gated headline + ungated row) and
@@ -545,9 +558,21 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
       System.err.println(s"[bench] full detail -> BENCH_DETAIL.json")
     }
-    println(s"""{"metric":"total","value":${jd(total, 2)},"unit":"sec","queries":${qsJson(2)},""" +
-      s""""sf":"$sfDir","crawl":{$common${gated.compactFields},""" +
-      s""""ungated":${ungated.compactSlim},"iso":${isoJson(false)},"detail":"BENCH_DETAIL.json"}}""")
+    val compactLine =
+      s"""{"metric":"total","value":${jd(total, 2)},"unit":"sec","queries":${qsJsonShort(2)},""" +
+        s""""sf":"$sfDir","crawl":{$common${gated.compactFields},""" +
+        s""""ungated":${ungated.compactSlim},"iso":${isoJson(false)},"detail":"BENCH_DETAIL.json"}}"""
+    // capture-budget guard: the driver keeps a 2000-char stdout tail and
+    // sbt appends ~80 chars of its own after this line
+    if (compactLine.length > 1900)
+      System.err.println(s"[bench] WARNING compact line ${compactLine.length} chars " +
+        "may truncate in the driver's 2000-char tail capture")
+    if (!sys.env.contains("GRAFT_BENCH_NO_DETAIL")) {
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_COMPACT.json"), compactLine + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] compact write failed: $e") }
+    }
+    println(compactLine)
     spark.stop()
   }
 }
