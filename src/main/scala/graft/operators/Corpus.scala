@@ -322,7 +322,7 @@ object Corpus {
       // checkpoint materializes pass 2 while the cache still backs it,
       // so later actions replay the pinned rows.
       out.localCheckpoint()
-    } finally ranged.unpersist(): Unit
+    } finally ranged.unpersist(): Unit // gate: pinned (localCheckpoint above)
   }
 
   /**

@@ -599,8 +599,8 @@ object Dedup {
    */
   final case class ArchiveDedupIndex(fps: DataFrame, freq: DataFrame,
       prefix: DataFrame, arrays: DataFrame, threshold: Double, n: Int) {
-    def unpersist(): Unit = {
-      fps.unpersist(); freq.unpersist(); prefix.unpersist(); arrays.unpersist()
+    def unpersist(): Unit = { // caller-invoked cache release
+      fps.unpersist(); freq.unpersist(); prefix.unpersist(); arrays.unpersist() // gate: lifecycle
     }
   }
 

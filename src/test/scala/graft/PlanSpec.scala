@@ -297,6 +297,30 @@ class PlanSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"driver-side collect() in operators: $bad")
   }
 
+  test("operators never unpersist an input a lazily-returned frame still needs") {
+    // source-level gate (round-4 verdict #6, the q42 lesson: a builder
+    // that unpersists before its lazy result is evaluated re-runs the
+    // upstream under a DIFFERENT runtime layout — invisible at sf0.01,
+    // wrong at sf0.1). Every `unpersist` in operators/ must sit on a line
+    // carrying an explicit marker:
+    //   `gate: pinned` — the builder eagerly pinned the dependent result
+    //                    (localCheckpoint/collect) BEFORE the unpersist;
+    //   `gate: lifecycle` — a caller-invoked cache-release method that no
+    //                    lazy return value depends on (ArchiveDedupIndex).
+    val opsDir = java.nio.file.Paths.get("src/main/scala/graft/operators")
+    val files = java.nio.file.Files.list(opsDir).iterator()
+    val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (files.hasNext) {
+      val p = files.next()
+      java.nio.file.Files.readAllLines(p).forEach { l =>
+        if (l.contains(".unpersist(") && !l.contains("gate: pinned") &&
+            !l.contains("gate: lifecycle"))
+          bad += s"${p.getFileName}: ${l.trim.take(70)}"
+      }
+    }
+    assert(bad.isEmpty, s"unmarked unpersist in operators (see q42 lesson): $bad")
+  }
+
   test("frontier bloom pre-filter probes via codegen'd might_contain, not a UDF") {
     import spark.implicits._
     // parquet-backed inputs: a LocalRelation would be constant-folded,
