@@ -97,44 +97,55 @@ object Dedup {
     .withColumn("r", row_number().over(
       Window.partitionBy(col("doc_id")).orderBy(col("f"), col("h"), col("s"))))
     .filter(col("r") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-    .select("doc_id", "sz", "h")
+    .select("doc_id", "sz", "h", "r")
     // candidates: share ≥1 prefix shingle key, sizes within ratio t (ids
     // only — the ~KB shingle arrays re-attach AFTER pair dedup, in
-    // attachAndVerify), then the PPJoin-style count filter (below) prunes
+    // attachAndVerify), then the PPJoin positional filter (below) prunes
     // pairs the verify step could never pass
-    val l = prefixToks.select(col("h"), col("doc_id").as("a_id"), col("sz").as("a_sz"))
-    val r = prefixToks.select(col("h"), col("doc_id").as("b_id"), col("sz").as("b_sz"))
+    val l = prefixToks.select(col("h"), col("doc_id").as("a_id"),
+      col("sz").as("a_sz"), col("r").as("ra"))
+    val r = prefixToks.select(col("h"), col("doc_id").as("b_id"),
+      col("sz").as("b_sz"), col("r").as("rb"))
     val candIds = l.join(r, Seq("h"))
     .filter(col("a_id") < col("b_id") &&
       col("b_sz") >= lit(threshold) * col("a_sz") &&
       col("a_sz") >= lit(threshold) * col("b_sz"))
     .groupBy("a_id", "b_id", "a_sz", "b_sz")
-    .agg(count(lit(1)).as("c"))
-    .filter(candUpperBound(threshold) >= minOverlap(threshold))
+    .agg(min(col("ra")).as("mra"), min(col("rb")).as("mrb"))
+    .filter(positionalBound(col("a_sz"), col("mra"), col("b_sz"), col("mrb")) >=
+      minOverlap(threshold, col("a_sz"), col("b_sz")))
     .select("a_id", "b_id")
     attachAndVerify(candIds, prep.select(col("doc_id"), col("sh")), threshold)
   }
 
-  /** PPJoin-family count-filter upper bound on a candidate pair's true
-    * overlap: `c` shared PREFIX keys were observed (the groupBy counts
-    * them — the same exchange the old dropDuplicates paid), and any
-    * further shared shingle must live in BOTH suffixes, of which doc x
-    * has exactly `ceil(t·sz_x) − 1` elements (sz − prefix length, written
-    * with the SAME `ceil(lit(t)·sz)` expression the prefix filter uses so
-    * the arithmetic is bit-identical). A 64-bit key collision can only
-    * RAISE c — never drops a true pair. At t = 0.5 the prefix is half of
-    * every doc, so near-miss pairs sharing a couple of rare shingles die
-    * here instead of riding two array-attach joins into the
-    * `jaccard_sorted` merge (q33/q48's dominant tail, VERDICT r4 #2). */
-  private def candUpperBound(threshold: Double): Column =
-    col("c") + least(ceil(lit(threshold) * col("a_sz")),
-      ceil(lit(threshold) * col("b_sz"))) - 1
+  /**
+   * PPJoin positional-filter upper bound on a candidate pair's true
+   * overlap (Xiao et al., WWW'08), groupBy form. Let t1 be the
+   * ORDER-MINIMUM shared prefix token of the pair. No shared token can
+   * precede t1 in the global order: such a token would rank before t1
+   * inside BOTH docs, hence inside both prefixes (prefixes are
+   * order-prefixes), hence be a prefix match ordered before t1 —
+   * contradiction. So every shared token sits at rank ≥ rank(t1) in each
+   * doc, giving overlap ≤ min(sz_a − ra(t1) + 1, sz_b − rb(t1) + 1). The
+   * per-doc rank r is monotone in the global order, so ra(t1) = min(ra)
+   * and rb(t1) = min(rb) over the observed matches — two min-aggregates
+   * on the same exchange the old dropDuplicates paid. A 64-bit key
+   * collision only adds spurious matches, which can only LOWER the min
+   * ranks and RAISE the bound — never drops a true pair. (The round-5
+   * first cut used c + min(suffix) — WRONG: a shared token may be
+   * prefix-side in one doc and suffix-side in the other; the sf0.1 sweep
+   * caught the recall loss on q60 before the closing campaign, exactly
+   * the sweep's job.)
+   */
+  private def positionalBound(szA: Column, minRa: Column,
+      szB: Column, minRb: Column): Column =
+    least(szA - minRa, szB - minRb) + 1
 
   /** Minimum intersection size J ≥ t implies: inter ≥ t/(1+t)·(sz_a+sz_b).
     * The 1e-6 slack makes FP rounding err on the KEEP side only — an
     * extra candidate costs one verify; a lost one would cost recall. */
-  private def minOverlap(threshold: Double): Column =
-    ceil(lit(threshold / (1 + threshold)) * (col("a_sz") + col("b_sz")) - lit(1e-6))
+  private def minOverlap(threshold: Double, szA: Column, szB: Column): Column =
+    ceil(lit(threshold / (1 + threshold)) * (szA + szB) - lit(1e-6))
 
   /** Two-pointer Jaccard over two sorted-distinct arrays, rounded 6dp
     * HALF_UP (matches Spark/DuckDB `round`). */
@@ -624,7 +635,7 @@ object Dedup {
       .withColumn("r", row_number().over(
         Window.partitionBy(col("a_id")).orderBy(col("f"), col("h"), col("s"))))
       .filter(col("r") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col("h"), col("a_id"), col("sz").as("a_sz"))
+      .select(col("h"), col("a_id"), col("sz").as("a_sz"), col("r").as("ra"))
       .repartition(col("h"))
       .persist()
     ArchiveDedupIndex(fps, freq, prefix, arrays, threshold, n)
@@ -677,15 +688,15 @@ object Dedup {
       .withColumn("r", row_number().over(
         Window.partitionBy(col("i_id")).orderBy(col("f"), col("h"), col("s"))))
       .filter(col("r") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col("h"), col("i_id"), col("sz").as("i_sz"))
+      .select(col("h"), col("i_id"), col("sz").as("i_sz"), col("r").as("ri"))
     val candIds = iPrefix.join(index.prefix, Seq("h"))
       .filter(col("a_sz") >= lit(threshold) * col("i_sz") &&
         col("i_sz") >= lit(threshold) * col("a_sz"))
+      // PPJoin positional filter (see positionalBound), cross-table form
       .groupBy("i_id", "a_id", "i_sz", "a_sz")
-      .agg(count(lit(1)).as("c"))
-      .filter(col("c") + least(ceil(lit(threshold) * col("i_sz")),
-          ceil(lit(threshold) * col("a_sz"))) - 1 >=
-        ceil(lit(threshold / (1 + threshold)) * (col("i_sz") + col("a_sz")) - lit(1e-6)))
+      .agg(min(col("ri")).as("mri"), min(col("ra")).as("mra"))
+      .filter(positionalBound(col("i_sz"), col("mri"), col("a_sz"), col("mra")) >=
+        minOverlap(threshold, col("i_sz"), col("a_sz")))
       .select("i_id", "a_id")
     val bestNear = candIds
       .join(iArr, Seq("i_id")).join(index.arrays, Seq("a_id"))
@@ -731,21 +742,21 @@ object Dedup {
         Window.partitionBy(col("side"), col("doc_id"))
           .orderBy(col("f"), col("h"), col("s"))))
       .filter(col("r") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select("side", "doc_id", "sz", "h")
+      .select("side", "doc_id", "sz", "h", "r")
     val l = prefixToks.filter(col("side") === "i")
-      .select(col("h"), col("doc_id").as("i_id"), col("sz").as("i_sz"))
+      .select(col("h"), col("doc_id").as("i_id"), col("sz").as("i_sz"),
+        col("r").as("ri"))
     val r = prefixToks.filter(col("side") === "a")
-      .select(col("h"), col("doc_id").as("a_id"), col("sz").as("a_sz"))
+      .select(col("h"), col("doc_id").as("a_id"), col("sz").as("a_sz"),
+        col("r").as("ra"))
     val candIds = l.join(r, Seq("h"))
       .filter(col("a_sz") >= lit(threshold) * col("i_sz") &&
         col("i_sz") >= lit(threshold) * col("a_sz"))
-      // PPJoin count filter (see candUpperBound): same bound with the
-      // cross-table (i, a) pair in place of (a, b)
+      // PPJoin positional filter (see positionalBound), cross-table form
       .groupBy("i_id", "a_id", "i_sz", "a_sz")
-      .agg(count(lit(1)).as("c"))
-      .filter(col("c") + least(ceil(lit(threshold) * col("i_sz")),
-          ceil(lit(threshold) * col("a_sz"))) - 1 >=
-        ceil(lit(threshold / (1 + threshold)) * (col("i_sz") + col("a_sz")) - lit(1e-6)))
+      .agg(min(col("ri")).as("mri"), min(col("ra")).as("mra"))
+      .filter(positionalBound(col("i_sz"), col("mri"), col("a_sz"), col("mra")) >=
+        minOverlap(threshold, col("i_sz"), col("a_sz")))
       .select("i_id", "a_id")
     val iArr = tagged.filter(col("side") === "i")
       .select(col("doc_id").as("i_id"), col("sh").as("sh_i"))

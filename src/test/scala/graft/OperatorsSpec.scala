@@ -676,6 +676,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(gotShuffled == gotHinted)
   }
 
+  test("jaccard pairs: COMPLETE recall vs brute force on randomized skewed corpora") {
+    // regression for the round-5 count-filter bug (caught by the sf0.1
+    // sweep): a candidate-filter bound must hold when a shared token is
+    // prefix-side in one doc and suffix-side in the other. Randomized
+    // docs over a Zipf-ish vocabulary at two thresholds, pair sets
+    // compared against an exact driver-side brute force.
+    for ((seed, t) <- Seq((11L, 0.5), (12L, 0.8), (13L, 0.7))) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = (0 until 120).map(v => s"w$v")
+      def draw(): String = { // Zipf-ish: low ids much likelier
+        val z = math.min(vocab.size - 1, (math.pow(rnd.nextDouble(), 2.5) * vocab.size).toInt)
+        vocab(z)
+      }
+      val docs = (0 until 60).map { i =>
+        val base = (0 until 12 + rnd.nextInt(20)).map(_ => draw())
+        (f"d$i%03d", base.mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val got = Dedup.ngramJaccardPairs(df, n = 2, threshold = t)
+        .select("a_id", "b_id").collect().map(r => (r.getString(0), r.getString(1))).toSet
+      // brute force over the same shingle definition
+      def shingles(s: String): Set[String] =
+        s.split(" ").filter(_.nonEmpty).sliding(2).filter(_.length == 2)
+          .map(_.mkString(" ")).toSet
+      val sh = docs.map { case (id, s) => id -> shingles(s) }.toMap
+      val want = (for {
+        (a, i) <- docs.map(_._1).zipWithIndex
+        b <- docs.map(_._1).drop(i + 1)
+        inter = sh(a).intersect(sh(b)).size
+        uni = sh(a).union(sh(b)).size
+        if uni > 0 && BigDecimal(inter.toDouble / uni)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble >= t
+      } yield (a, b)).toSet
+      assert(got == want,
+        s"seed=$seed t=$t missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+  }
+
   test("incremental dedup: indexed path ≡ recompute path, and the index reuses across slices") {
     // real corpus + the q60 snapshot split so the equivalence covers the
     // graded query's exact shape (archive 80% / slice 20%)
