@@ -34,6 +34,28 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Scan with SCALE-ADAPTIVE map-side parallelism (optimization guide
+    * §2.5 "input skew" / §6 input-split sizing): the testdata tables are
+    * single parquet files, and under the bench session's 16 MB split
+    * heuristics a single file is ONE scan partition — so a per-row
+    * CPU-heavy map stage (shingling, md5 hashing, regex scans, codecs)
+    * that precedes the first exchange runs on ONE core regardless of
+    * `local[N]`. A round-robin repartition to the session's default
+    * parallelism right after the read fans that work out. The gate is
+    * derived from the scan's actual split count vs the session's core
+    * count — NOT a constant: at production scale a 100 TB table scans as
+    * thousands of splits, the gate holds and this is a no-op, so no extra
+    * exchange is ever paid where the scan is already parallel. Applied
+    * SELECTIVELY (measured per query, round-6 A/B): only where the
+    * pre-exchange per-row work dominates — a blanket repartition costs a
+    * fixed exchange per scan-subtree re-derivation and loses on queries
+    * that read the table several ways. */
+  private def tpar(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = t(spark, dir, name)
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q01_pricing_agg")(spark, "/root/testdata/sf0.001")
@@ -117,14 +139,14 @@ object SparkEntry {
     "q06_dict_encode" -> ((s, dir) => {
       t(s, dir, "orders").select("o_orderpriority").distinct()
         .withColumn("id", dense_rank().over(
-          Window.orderBy(col("o_orderpriority"))).cast("long"))
+          Window.partitionBy(lit(1)).orderBy(col("o_orderpriority"))).cast("long"))
         .orderBy("id")
     }),
 
     // S4 feed decode: JSON payload extraction + per-key aggregation
     // (PhishTank provider, provider.go:219-266).
     "q07_events_json" -> ((s, dir) => {
-      t(s, dir, "events")
+      tpar(s, dir, "events")
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
         .groupBy("event_type")
         .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("cnt"),
@@ -133,16 +155,30 @@ object SparkEntry {
     }),
 
     // W7 chain self-join: consecutive-sequence linkage (redirect chains).
+    // Round 6 (guide §2.3/§2.4): the self-join form scanned lineitem twice
+    // and shuffled the full table on both sides of a (l_orderkey,
+    // l_linenumber) join. Equivalent single-scan form: aggregate per
+    // (order, line) FIRST — cnt rows and qty sum, map-side combinable —
+    // then a window `lead` links consecutive line numbers and the products
+    // replay the join's duplicate semantics exactly (the testdata has
+    // duplicate (order, line) pairs, so a plain per-row lead would NOT be
+    // equivalent): pairs(o) = Σ cnt(ln)·cnt(ln+1), next_qty(o) =
+    // Σ cnt(ln)·qsum(ln+1); q_quantity values are integer-valued doubles,
+    // so the regrouped sum is exact. One scan, aggregated rows through the
+    // window, and the final per-order aggregate reuses the window's
+    // partitioning (oracle-verified identical).
     "q08_chain_selfjoin" -> ((s, dir) => {
-      val l = t(s, dir, "lineitem")
-      val a = l.select(col("l_orderkey"), col("l_linenumber"))
-      val b = l.select(col("l_orderkey"),
-        (col("l_linenumber") - 1).as("l_linenumber"),
-        col("l_quantity"))
-      a.join(b, Seq("l_orderkey", "l_linenumber"))
+      val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(count(lit(1)).as("c"), sum(col("l_quantity")).as("q"))
+        .withColumn("nxt_ln", lead(col("l_linenumber"), 1).over(w))
+        .withColumn("nxt_c", lead(col("c"), 1).over(w))
+        .withColumn("nxt_q", lead(col("q"), 1).over(w))
+        .filter(col("nxt_ln") === col("l_linenumber") + 1)
         .groupBy("l_orderkey")
-        .agg(count(lit(1)).as("chain_pairs"),
-          round(sum(col("l_quantity")), 2).as("next_qty_sum"))
+        .agg(sum(col("c") * col("nxt_c")).as("chain_pairs"),
+          round(sum(col("c") * col("nxt_q")), 2).as("next_qty_sum"))
         .orderBy("l_orderkey")
     }),
 
@@ -194,7 +230,7 @@ object SparkEntry {
 
     // Language ID heuristic, aggregated.
     "q22_langid" -> ((s, dir) => {
-      t(s, dir, "documents")
+      tpar(s, dir, "documents")
         .select(TextOps.langId(col("text")).as("lang"))
         .groupBy("lang").agg(count(lit(1)).as("cnt"))
         .orderBy("lang")
@@ -219,7 +255,7 @@ object SparkEntry {
     // full exact-Jaccard pair set at the threshold (recall ~1 at J≥0.8 with
     // 32 bands × 4 rows; verify step makes precision exact).
     "q25_minhash_pairs" -> ((s, dir) => {
-      Dedup.minhashLshPairs(t(s, dir, "documents"), n = 3, threshold = 0.8)
+      Dedup.minhashLshPairs(tpar(s, dir, "documents"), n = 3, threshold = 0.8)
         .orderBy("a_id", "b_id")
     }),
 
@@ -246,7 +282,7 @@ object SparkEntry {
     // SimHash per doc; pigeonhole blocking has recall 1.0 at hamming ≤ 3,
     // so the oracle brute-forces all pairs — a full hash-verified check.
     "q28_simhash_pairs" -> ((s, dir) => {
-      Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3)
+      Dedup.simhashPairs(tpar(s, dir, "documents"), maxHamming = 3)
         .withColumn("hamming", col("hamming").cast("long"))
         .orderBy("a_id", "b_id")
     }),
@@ -269,8 +305,11 @@ object SparkEntry {
     // unrolls all 4 Lloyd iterations in SQL — init sample, per-cell
     // float32 centroid means, argmax-cosine assignment, nprobe probing,
     // and the exact re-rank (recall floor vs brute force in OperatorsSpec).
+    // Round 6: the Lloyd loop + assignment + probe re-derive the corpus
+    // 6+ times (one distributed job per iteration); tpar + the eager pin
+    // materialize the fanned-out embeddings ONCE and every job reads rows.
     "q30_ivf_topk" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = tpar(s, dir, "embeddings").localCheckpoint(true)
       val centroids = Similarity.kmeansCentroids(emb, cells = 16, iters = 4)
       val assigned = Similarity.ivfAssign(emb, centroids)
       Similarity.ivfTopK(assigned, centroids, emb.filter(col("vec_id") < 20),
@@ -284,7 +323,7 @@ object SparkEntry {
     // fingerprint set per doc, not just sketch stats.
     "q31_winnow_fingerprint" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "documents").select(col("doc_id"), col("text"))
+      tpar(s, dir, "documents").select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .flatMap { case (id, text) => TextOps.winnow(text).map(fp => (id, fp)) }
         .toDF("doc_id", "fp")
@@ -297,7 +336,7 @@ object SparkEntry {
     // are md5-derived so DuckDB rebuilds them byte-for-byte (see oracleSql).
     "q32_media_features" -> ((s, dir) => {
       import graft.operators.Multimodal
-      val media = Multimodal.mediaFromDocs(t(s, dir, "documents"))
+      val media = Multimodal.mediaFromDocs(tpar(s, dir, "documents"))
       val sniffed = Multimodal.withSniffedMime(media.toDF())
       val feats = Multimodal.extractFeatures(media).toDF()
       sniffed.select(col("media_id"), col("kind"), col("sniffed_mime"),
@@ -328,7 +367,7 @@ object SparkEntry {
     // One tagged explode → two-level aggregation (map-side combine eats
     // the repeats the operator exists to find).
     "q34_repetition_stats" -> ((s, dir) => {
-      Corpus.repetitionStats(t(s, dir, "documents"), maxFrac = 0.2)
+      Corpus.repetitionStats(tpar(s, dir, "documents"), maxFrac = 0.2)
         .orderBy("doc_id")
     }),
 
@@ -383,7 +422,7 @@ object SparkEntry {
     // verifies the surviving text itself). Pure per-row array algebra —
     // rides the scan stage at 100 TB.
     "q39_line_filter" -> ((s, dir) => {
-      Clean.lineFilter(t(s, dir, "documents"), chunk = 12, minWords = 5)
+      Clean.lineFilter(tpar(s, dir, "documents"), chunk = 12, minWords = 5)
         .orderBy("doc_id")
     }),
 
@@ -391,7 +430,7 @@ object SparkEntry {
     // replay-in-SQL technique): match counts per class + md5/length of
     // the scrubbed text. Per-row regex projection, no shuffle.
     "q40_pii_scrub" -> ((s, dir) => {
-      Clean.piiScrub(Clean.withSyntheticPii(t(s, dir, "documents")))
+      Clean.piiScrub(Clean.withSyntheticPii(tpar(s, dir, "documents")))
         .orderBy("doc_id")
     }),
 
@@ -440,7 +479,7 @@ object SparkEntry {
     // its centroid. Removed rows + evidence; the oracle replays k-means
     // AND the prune rule.
     "q45_semdedup" -> ((s, dir) => {
-      Similarity.semDeDup(t(s, dir, "embeddings"),
+      Similarity.semDeDup(tpar(s, dir, "embeddings").localCheckpoint(true),
         cells = 16, iters = 4, threshold = 0.35)
         .orderBy("vec_id")
     }),
@@ -503,7 +542,7 @@ object SparkEntry {
     // min over the d cells — the sketch AND its one-sided error
     // (overcount ≥ 0) are hash-verified; exact counts ground the check.
     "q52_cms_heavy_hitters" -> ((s, dir) => {
-      Sketches.countMinHeavyHitters(t(s, dir, "documents"))
+      Sketches.countMinHeavyHitters(tpar(s, dir, "documents"))
     }),
 
     // int8 symmetric scalar quantization (FAISS SQ8-style) + integer
@@ -512,7 +551,7 @@ object SparkEntry {
     // integer arithmetic — bit-exact cross-engine, no float anywhere
     // after the two-IEEE-op quantize step.
     "q53_quantized_topk" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = tpar(s, dir, "embeddings")
       Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 20), 5)
         .orderBy("q_id", "rk")
     }),
@@ -542,7 +581,7 @@ object SparkEntry {
     // distances end-to-end = engine-exact; exact_l2 grounds the ADC
     // estimate per reported pair.
     "q56_pq_topk" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = tpar(s, dir, "embeddings")
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), 5)
         .orderBy("q_id", "rk")
     }),
@@ -561,7 +600,7 @@ object SparkEntry {
     // array algebra, zero shuffle; md5 chunk hash feeds chunk-level
     // exact dedup without re-reading text.
     "q58_chunking" -> ((s, dir) => {
-      Corpus.chunkSequences(t(s, dir, "documents"), size = 24, stride = 16)
+      Corpus.chunkSequences(tpar(s, dir, "documents"), size = 24, stride = 16)
         .orderBy("doc_id", "chunk_idx")
     }),
 
@@ -611,9 +650,15 @@ object SparkEntry {
     // hash match proves the Spark side's encode→codec→decode roundtrip
     // preserved every pixel and sample (the q32 stub tier stays for
     // non-JDK formats).
+    // Round 6: tpar fans the per-row encode+decode codec work across the
+    // cores (it ran on ONE core off the single-split scan), and the eager
+    // pin materializes the decoded features ONCE — the final orderBy's
+    // range-partition sampling job otherwise re-executes the whole
+    // unmaterialized codec pipeline a second time (guide §1.4/§2.6).
     "q62_real_media_features" -> ((s, dir) => {
       import graft.operators.Multimodal
-      Multimodal.mediaFeatures(Multimodal.realMediaFromDocs(t(s, dir, "documents")))
+      Multimodal.mediaFeatures(Multimodal.realMediaFromDocs(tpar(s, dir, "documents")))
+        .localCheckpoint(true)
         .orderBy("media_id")
     }))
 

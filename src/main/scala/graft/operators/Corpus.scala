@@ -191,7 +191,9 @@ object Corpus {
       .groupBy(col(domain).as("domain"))
       .agg(count(lit(1)).as("n_docs"),
         sum(TextOps.tokenCount(col("text")).cast("long")).as("tokens"))
-    val all = Window.partitionBy() // dim-sized (see scaladoc), not corpus-sized
+    // dim-sized frame (see scaladoc), not corpus-sized; the literal
+    // partition key silences the WindowExec no-partition warning (r5 #3)
+    val all = Window.partitionBy(lit(1))
     val share = col("tokens").cast("double") / sum(col("tokens")).over(all)
     dim
       .withColumn("share_micro", round(share * lit(1e6)).cast("long"))
@@ -621,14 +623,14 @@ object Corpus {
   def mixtureSample(docs: DataFrame, k: Int, domain: String = "source",
       seed: Long = 42L): DataFrame = {
     require(k > 0, "k must be positive")
-    val all = Window.partitionBy() // dim-sized (domainMixture scaladoc)
+    val all = Window.partitionBy(lit(1)) // dim-sized (domainMixture scaladoc)
     val alloc = domainMixture(docs, domain)
       .select(col("domain"), col("n_docs"),
         expr(s"(weight_micro * $k) div 1000000").as("base"),
         ((col("weight_micro") * k) % 1000000L).as("rem"))
       .withColumn("deficit", lit(k) - sum(col("base")).over(all))
       .withColumn("er", row_number().over(
-        Window.orderBy(col("rem").desc, col("domain"))))
+        Window.partitionBy(lit(1)).orderBy(col("rem").desc, col("domain"))))
     val quota = alloc.select(col("domain"),
       least(col("base") + when(col("er") <= col("deficit"), 1L)
         .otherwise(0L), col("n_docs")).as("quota"))
@@ -677,7 +679,7 @@ object Corpus {
       .orderBy(col("pair_cnt").desc, col("pair")).limit(k)
     // rank rides a k-row frame — the take above already bounded it
     top.withColumn("rk", row_number().over(
-      Window.orderBy(col("pair_cnt").desc, col("pair"))).cast("long"))
+      Window.partitionBy(lit(1)).orderBy(col("pair_cnt").desc, col("pair"))).cast("long"))
   }
 
   /**

@@ -357,23 +357,43 @@ object Dedup {
     p.filter(col("u") =!= col("v"))
       .union(p.filter(col("u") =!= col("v"))
         .select(col("v").as("u"), col("u").as("v")))
+    // Round 6 (guide §1.2 — cut the per-iteration critical path): both
+    // star ops now compute the neighborhood minimum as a PARTITION WINDOW
+    // over one exchange on `u` instead of a groupBy(min) + equi-join.
+    // The join form cost two parallel exchanges feeding a join stage (or
+    // an extra AQE broadcast-build job when the min dim was tiny) — 2-3
+    // sequential stage barriers per star op; the window form is exactly
+    // one exchange + one in-stage pass, so a full iteration is 3 strictly
+    // sequential exchanges (largeStar u, smallStar u, closure distinct).
+    // Hub-safety at scale is unchanged: WindowExec sorts each u-partition
+    // the same way the former sort-merge join sorted its probe side —
+    // spillable O(deg·log deg), still NO neighborhood array ever
+    // materializes.
     // large-star: every node v ∈ Γ(u) with v > u re-attaches to
     // m(u) = min(Γ(u) ∪ {u}). Input must be the symmetric closure.
     def largeStar(e: DataFrame): DataFrame = {
-    val mins = e.groupBy("u").agg(min("v").as("mn"))
-      .select(col("u"), least(col("mn"), col("u")).as("m"))
-    e.filter(col("v") > col("u")).join(mins, Seq("u"))
+    val w = Window.partitionBy("u")
+    e.withColumn("m", least(min(col("v")).over(w), col("u")))
+      .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v")) // m < v always: no loops
     }
     // small-star: each undirected edge assigned to its LARGER endpoint u;
     // u and its smaller neighbors all re-attach to m(u) = min of them.
+    // The (u, m) re-attach row rides the SAME generator as the neighbor
+    // rows (one per el row instead of one per u — duplicate rows are
+    // harmless here: the min-window ignores multiplicity and the outer
+    // closure's distinct removes them before the checkpoint, so the
+    // checkpointed edge SET is identical to the join form's).
     def smallStar(e: DataFrame): DataFrame = {
     val el = e.filter(col("v") < col("u"))
-    val mins = el.groupBy("u").agg(min("v").as("m"))
-    el.join(mins, Seq("u"))
-      .filter(col("v") =!= col("m"))
-      .select(col("v").as("u"), col("m").as("v"))
-      .union(mins.select(col("u"), col("m").as("v")))
+    val w = Window.partitionBy("u")
+    el.withColumn("m", min(col("v")).over(w))
+      .select(explode(array(
+        when(col("v") =!= col("m"),
+          struct(col("v").as("u"), col("m").as("v"))),
+        struct(col("u"), col("m").as("v")))).as("edge"))
+      .filter(col("edge").isNotNull)
+      .select(col("edge.u").as("u"), col("edge.v").as("v"))
     }
     // one action per iteration: the (count, hash-xor) convergence checksum
     // rides the eager checkpoint's own job as an `observe` metric instead

@@ -154,6 +154,11 @@ object Multimodal {
 
   /** Encode one seeded raster as a REAL PNG (javax.imageio). */
   def encodePng(rec: MediaRecipe): Array[Byte] = {
+    // ImageIO defaults to a DISK-backed stream cache: without this, every
+    // encode/decode call creates (and deletes) a temp file — measured
+    // per-row overhead on the q62 codec path (round 6). Memory-backed
+    // streams are strictly better for these KB-sized in-memory payloads.
+    javax.imageio.ImageIO.setUseCache(false)
     val img = new java.awt.image.BufferedImage(
       rec.width, rec.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -223,6 +228,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // no disk-backed stream cache (see encodePng)
       it.map { m =>
         val bytes = m.bytes
         val isPng = bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 &&

@@ -465,14 +465,21 @@ object Similarity {
     var i = 0
     while (i < iters) {
       val cDf = centers.toSeq.sortBy(_._1).toDF("cell_id", "cell_emb")
+      // Round 6: ONE distributed aggregate per Lloyd iteration — the
+      // (cell, pos) means come back as cells·dim slim rows and the
+      // centroid arrays are assembled driver-side, dropping the second
+      // groupBy(cell) exchange + collect_list/array_sort stage the
+      // round-5 form paid per iteration (guide §1.2: cut the sequential
+      // per-iteration fixed cost). Float32 truncation is unchanged
+      // (.toFloat ≡ cast("float"), round-to-nearest on the same double).
       val updated: Map[Int, Seq[Float]] = nearestCell(corpus, cDf)
         .select(col("cell_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cell_id"), col("pos")).agg(avg(col("v").cast("double")).as("m"))
-        .groupBy(col("cell_id"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("sm"))
-        .select(col("cell_id"),
-          transform(col("sm"), x => x.getField("m").cast("float")).as("cell_emb"))
-        .as[(Int, Seq[Float])].collect().toMap // gate: O(P)=O(cells) centroid rows, never per-doc
+        .collect() // gate: O(P)=O(cells·dim) mean rows, never per-doc
+        .groupBy(_.getInt(0))
+        .map { case (cid, rs) =>
+          cid -> rs.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq
+        }
       // emptied cells keep their previous centroid
       centers = centers.map { case (id, e) => id -> updated.getOrElse(id, e) }
       i += 1
