@@ -418,14 +418,27 @@ object Similarity {
    */
   private def nearestCell(points: DataFrame, centroids: DataFrame): DataFrame = {
     val K = 1L << 21
-    points.crossJoin(broadcast(centroids))
-      .withColumn("d", round(cosine(col("embedding"), col("cell_emb")), 12))
-      .withColumn("mk",
-        round(col("d") * lit(1e12)).cast("long") * lit(K) - col("cell_id"))
-      .groupBy(col("vec_id"), col("embedding"))
-      .agg(max(col("mk")).as("mk"))
-      .select(col("vec_id"), col("embedding"),
-        pmod(-col("mk"), lit(K)).cast("int").as("cell_id"))
+    // Round 6 (guide §1.2/§2.4): the centroid set is driver-resident by
+    // construction (kmeansCentroids' Lloyd loop holds it as a Map; the
+    // callers' DataFrame is a LocalRelation), so the assignment rides the
+    // scan as a PER-ROW literal-matrix argmax — no broadcast build job, no
+    // corpus×cells crossJoin rows, no groupBy exchange. The packed-long
+    // argmax arithmetic is IDENTICAL to the former crossJoin+max form
+    // (same d rounding, same mk packing, same tie rule), so assignments
+    // are bit-equal — OperatorsSpec/q30/q45 oracles pin this.
+    val rows = centroids.select(col("cell_id"), col("cell_emb"))
+      .collect() // gate: O(P)=O(cells) centroid rows (a LocalRelation for every in-repo caller), never per-vector
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toSeq).sortBy(_._1)
+    val embLit = typedlit(rows.map(_._2).toSeq)
+    val idLit = typedlit(rows.map(_._1.toLong).toSeq)
+    val mks = transform(sequence(lit(0), lit(rows.length - 1)), i => {
+      val d = round(cosine(col("embedding"),
+        element_at(embLit, (i + 1).cast("int"))), 12)
+      round(d * lit(1e12)).cast("long") * lit(K) -
+        element_at(idLit, (i + 1).cast("int"))
+    })
+    points.select(col("vec_id"), col("embedding"),
+      pmod(-array_max(mks), lit(K)).cast("int").as("cell_id"))
   }
 
   /**
@@ -525,9 +538,19 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     reg(corpus)
     val centroids = kmeansCentroids(corpus, cells, iters, seed)
+    // Round 6: cc re-attaches the centroid embedding by INDEXING the
+    // literal matrix on cell_id instead of a broadcast join (cell ids are
+    // 0..cells-1 by kmeansInit construction — asserted below); same
+    // cosine, same rounding, one less broadcast build + join stage.
+    val cRows = centroids.select(col("cell_id"), col("cell_emb"))
+      .collect() // gate: O(P)=O(cells) centroid rows (LocalRelation), never per-vector
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toSeq).sortBy(_._1)
+    require(cRows.map(_._1).sameElements(cRows.indices),
+      "semDeDup literal cc-indexing needs contiguous 0..k-1 cell ids")
+    val cEmbLit = typedlit(cRows.map(_._2).toSeq)
     val withC = ivfAssign(corpus, centroids)
-      .join(broadcast(centroids), Seq("cell_id"))
-      .withColumn("cc", round(cosine(col("embedding"), col("cell_emb")), 6))
+      .withColumn("cc", round(cosine(col("embedding"),
+        element_at(cEmbLit, (col("cell_id") + 1).cast("int"))), 6))
       .select(col("cell_id"), col("vec_id"), col("embedding"), col("cc"))
     val lhs = Seq("vec_id", "embedding", "cc")
       .foldLeft(withC)((d, c) => d.withColumnRenamed(c, s"a_$c"))

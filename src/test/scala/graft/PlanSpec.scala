@@ -269,11 +269,14 @@ class PlanSpec extends AnyFunSuite {
     val assignPlan = planOf(Similarity.ivfAssign(emb, centroids))
     assert(!assignPlan.contains("Window"),
       s"ivfAssign ranks via Window over corpus×cells:\n$assignPlan")
-    assert(assignPlan.contains("HashAggregate"),
-      s"ivfAssign argmax is not an aggregate:\n$assignPlan")
-    assert(assignPlan.contains("BroadcastNestedLoopJoin") ||
-      assignPlan.contains("BroadcastExchange"),
-      s"centroids not broadcast:\n$assignPlan")
+    // round 6: the assignment is a PER-ROW literal-matrix argmax riding
+    // the scan — no join, no exchange, no aggregate (the former
+    // crossJoin(broadcast)+HashAggregate emitted corpus×cells rows and
+    // paid a broadcast build + argmax exchange per Lloyd iteration)
+    assert(!assignPlan.contains("Join"),
+      s"ivfAssign joins the centroid set instead of indexing a literal:\n$assignPlan")
+    assert(!assignPlan.contains("Exchange"),
+      s"ivfAssign pays an exchange for a per-row argmax:\n$assignPlan")
   }
 
   test("near-dup verify is shuffle-based: no driver collect of per-doc data in operators/") {
