@@ -56,19 +56,6 @@ object SparkEntry {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
-  /** [[tpar]] + eager localCheckpoint — for queries that derive the SAME
-    * scan several times with expensive per-row work on each derivation
-    * (q35/q37/q41/q44/q47/q51 shapes: two to three subtrees each re-run
-    * tokenize/md5/explode off the raw text). Plain tpar regressed these
-    * (round-6 blanket A/B: each re-derivation pays its own sort+exchange);
-    * the pin pays ONE exchange + one materialize job on the slim raw rows,
-    * then every derivation reads fanned-out cached partitions. At real
-    * scale the gate inside tpar self-disables and this degrades to an
-    * eager pin of the scan — callers at 100 TB would drop it entirely
-    * (re-reading parquet is cheaper than caching 100 TB), which is why it
-    * lives HERE in the bench-facing query layer, not inside operators. */
-  private def tparPin(spark: SparkSession, dir: String, name: String): DataFrame =
-    tpar(spark, dir, name).localCheckpoint(true)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -183,7 +170,7 @@ object SparkEntry {
     // partitioning (oracle-verified identical).
     "q08_chain_selfjoin" -> ((s, dir) => {
       val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
-      tpar(s, dir, "lineitem")
+      t(s, dir, "lineitem")
         .groupBy(col("l_orderkey"), col("l_linenumber"))
         .agg(count(lit(1)).as("c"), sum(col("l_quantity")).as("q"))
         .withColumn("nxt_ln", lead(col("l_linenumber"), 1).over(w))
@@ -236,7 +223,7 @@ object SparkEntry {
 
     // Token counting: whitespace + BPE-ish boundary tokens.
     "q21_token_stats" -> ((s, dir) => {
-      tpar(s, dir, "documents").select(col("doc_id"),
+      t(s, dir, "documents").select(col("doc_id"),
         TextOps.tokenCount(col("text")).cast("long").as("n_tok"),
         TextOps.bpeTokenCount(col("text")).cast("long").as("n_bpe"))
         .orderBy("doc_id")
@@ -252,7 +239,7 @@ object SparkEntry {
 
     // Quality scoring.
     "q23_quality" -> ((s, dir) => {
-      tpar(s, dir, "documents").select(col("doc_id"),
+      t(s, dir, "documents").select(col("doc_id"),
         TextOps.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")
     }),
@@ -261,7 +248,7 @@ object SparkEntry {
     // join with COMPLETE recall, so the oracle is pure brute force (no
     // blocking replicated on the DuckDB side: a recall loss would diverge).
     "q24_jaccard_pairs" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(tpar(s, dir, "documents"), n = 3, threshold = 0.5)
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 3, threshold = 0.5)
         .orderBy("a_id", "b_id")
     }),
 
@@ -319,11 +306,13 @@ object SparkEntry {
     // unrolls all 4 Lloyd iterations in SQL — init sample, per-cell
     // float32 centroid means, argmax-cosine assignment, nprobe probing,
     // and the exact re-rank (recall floor vs brute force in OperatorsSpec).
-    // Round 6: the Lloyd loop + assignment + probe re-derive the corpus
-    // 6+ times (one distributed job per iteration); tpar + the eager pin
-    // materialize the fanned-out embeddings ONCE and every job reads rows.
+    // Round 6: each Lloyd iteration is ONE distributed aggregate over a
+    // per-row literal-matrix assignment (no broadcast build, no argmax
+    // exchange — see Similarity.nearestCell); an entry-level repartition+
+    // pin of the corpus was A/B-probed interleaved and REJECTED (the pin
+    // barrier cost more than the re-derived single-split scans).
     "q30_ivf_topk" -> ((s, dir) => {
-      val emb = tpar(s, dir, "embeddings").localCheckpoint(true)
+      val emb = t(s, dir, "embeddings")
       val centroids = Similarity.kmeansCentroids(emb, cells = 16, iters = 4)
       val assigned = Similarity.ivfAssign(emb, centroids)
       Similarity.ivfTopK(assigned, centroids, emb.filter(col("vec_id") < 20),
@@ -371,12 +360,9 @@ object SparkEntry {
     // keep flag. The oracle replays the transitive closure with a
     // recursive CTE over the same brute-force pair set.
     "q33_dedup_groups" -> ((s, dir) => {
-      // tpar feeds ONLY the shingle-heavy pair generation; the label join
-      // reads the plain scan (fanning the trivial doc_id projection too
-      // measured +1.4 s — each re-derivation pays its own exchange)
-      val pairs = Dedup.ngramJaccardPairs(tpar(s, dir, "documents"),
-        n = 3, threshold = 0.5)
-      Dedup.dedupGroups(t(s, dir, "documents"), pairs).orderBy("doc_id")
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
+      Dedup.dedupGroups(docs, pairs).orderBy("doc_id")
     }),
 
     // Gopher-style repetition statistics: top-2-gram occupancy +
@@ -394,7 +380,7 @@ object SparkEntry {
     // eval gram dim broadcasts; the train side streams (no train-gram
     // shuffle at 100 TB).
     "q35_decontaminate" -> ((s, dir) => {
-      val docs = tparPin(s, dir, "documents")
+      val docs = t(s, dir, "documents")
       Corpus.decontaminate(
         docs.filter(col("doc_id") % 10 =!= 7),
         docs.filter(col("doc_id") % 10 === 7), n = 8)
@@ -414,7 +400,7 @@ object SparkEntry {
     // decimals then ranked (the round-then-rank discipline every
     // cross-engine float ranking here uses), ties by token.
     "q37_tfidf_topk" -> ((s, dir) => {
-      val docs = tparPin(s, dir, "documents")
+      val docs = t(s, dir, "documents")
       Corpus.tfidfTopK(docs, k = 3, nDocs = docs.count())
         .withColumn("rk", col("rk").cast("long"))
         .orderBy("doc_id", "rk")
@@ -430,7 +416,7 @@ object SparkEntry {
     // hazards.
     "q38_span_seq" -> ((s, dir) => {
       import graft.operators.Spans
-      Spans.spanSeqStats(Spans.spansFromDocs(tpar(s, dir, "documents")))
+      Spans.spanSeqStats(Spans.spansFromDocs(t(s, dir, "documents")))
         .orderBy("doc_id")
     }),
 
@@ -455,7 +441,7 @@ object SparkEntry {
     // occurrence survives (packed (doc,pos) min per sentence hash — one
     // hash-keyed groupBy + one join-back, both O(sentences)).
     "q41_sentence_dedup" -> ((s, dir) => {
-      Clean.sentenceDedup(tparPin(s, dir, "documents"), chunk = 10)
+      Clean.sentenceDedup(t(s, dir, "documents"), chunk = 10)
         .orderBy("doc_id")
     }),
 
@@ -465,7 +451,7 @@ object SparkEntry {
     // result is P-independent; the oracle replays the same prefix sum as
     // a window over the same total order.
     "q42_seq_packing" -> ((s, dir) => {
-      Corpus.packSequences(tpar(s, dir, "documents"), cap = 512)
+      Corpus.packSequences(t(s, dir, "documents"), cap = 512)
         .orderBy("doc_id")
     }),
 
@@ -483,7 +469,7 @@ object SparkEntry {
     // Gumbel top-k). The oracle rebuilds buckets, both multinomials, the
     // quantized ratios, and the Gumbel draw from the same md5 stream.
     "q44_dsir_sample" -> ((s, dir) => {
-      val docs = tparPin(s, dir, "documents")
+      val docs = t(s, dir, "documents")
       Corpus.dsirSample(
         raw = docs.filter(col("source") =!= "src0"),
         target = docs.filter(col("source") === "src0"),
@@ -496,7 +482,7 @@ object SparkEntry {
     // its centroid. Removed rows + evidence; the oracle replays k-means
     // AND the prune rule.
     "q45_semdedup" -> ((s, dir) => {
-      Similarity.semDeDup(tpar(s, dir, "embeddings").localCheckpoint(true),
+      Similarity.semDeDup(t(s, dir, "embeddings"),
         cells = 16, iters = 4, threshold = 0.35)
         .orderBy("vec_id")
     }),
@@ -514,7 +500,7 @@ object SparkEntry {
     // quantized at the dim so per-doc log-likelihoods are integer sums
     // (the q44 discipline); the oracle refits the identical model.
     "q47_lm_perplexity" -> ((s, dir) => {
-      Corpus.lmPerplexity(tparPin(s, dir, "documents"))
+      Corpus.lmPerplexity(t(s, dir, "documents"))
         .orderBy("doc_id")
     }),
 
@@ -523,10 +509,8 @@ object SparkEntry {
     // q23 score, ties → min doc_id), not the arbitrary component-min. The
     // oracle replays the closure, the quality formula, and the argmax.
     "q48_canonical_docs" -> ((s, dir) => {
-      // tpar feeds only the shingle-heavy pair generation (see q33)
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.ngramJaccardPairs(tpar(s, dir, "documents"),
-        n = 3, threshold = 0.5)
+      val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
       Dedup.canonicalDocs(docs, Dedup.dedupGroups(docs, pairs))
         .orderBy("doc_id")
     }),
@@ -552,7 +536,7 @@ object SparkEntry {
     // correctly-rounded division — the sketch ITSELF is hash-verified,
     // not just close-to-exact (plus the exact count and err_ppm).
     "q51_hll_distinct" -> ((s, dir) => {
-      Sketches.hllDistinct(tparPin(s, dir, "events"), col("user_id"),
+      Sketches.hllDistinct(t(s, dir, "events"), col("user_id"),
         Seq("event_type")).orderBy("event_type")
     }),
 
@@ -588,7 +572,7 @@ object SparkEntry {
     // stand-in weight table (the trained artifact's seat), integer
     // micro-unit logit — a pure per-row projection that rides the scan.
     "q55_quality_classifier" -> ((s, dir) => {
-      Corpus.qualityClassifier(tpar(s, dir, "documents"))
+      Corpus.qualityClassifier(t(s, dir, "documents"))
         .orderBy("doc_id")
     }),
 
@@ -645,7 +629,7 @@ object SparkEntry {
     // recompute path is pinned row-identical by the OperatorsSpec
     // equivalence test.
     "q60_incremental_dedup" -> ((s, dir) => {
-      val docs = tpar(s, dir, "documents")
+      val docs = t(s, dir, "documents")
       val snap = conv(substring(md5(concat(lit("snap:"),
         col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 5
       val index = Dedup.buildArchiveIndex(docs.filter(snap =!= 0))
@@ -669,15 +653,14 @@ object SparkEntry {
     // hash match proves the Spark side's encode→codec→decode roundtrip
     // preserved every pixel and sample (the q32 stub tier stays for
     // non-JDK formats).
-    // Round 6: tpar fans the per-row encode+decode codec work across the
-    // cores (it ran on ONE core off the single-split scan), and the eager
-    // pin materializes the decoded features ONCE — the final orderBy's
-    // range-partition sampling job otherwise re-executes the whole
-    // unmaterialized codec pipeline a second time (guide §1.4/§2.6).
+    // Round 6: the codec stage keeps the plain single-split scan — both a
+    // scan fan-out and an eager feature pin were interleaved-A/B-probed
+    // and REJECTED (the exchange + pin barrier serialized the critical
+    // path; the orderBy sampling pass's duplicated codec work races on
+    // idle cores and costs less than the barrier).
     "q62_real_media_features" -> ((s, dir) => {
       import graft.operators.Multimodal
-      Multimodal.mediaFeatures(Multimodal.realMediaFromDocs(tpar(s, dir, "documents")))
-        .localCheckpoint(true)
+      Multimodal.mediaFeatures(Multimodal.realMediaFromDocs(t(s, dir, "documents")))
         .orderBy("media_id")
     }))
 
