@@ -234,6 +234,20 @@ object AbProbe {
           emb.filter(col("vec_id") < 20), k = 5, nprobe = 4)
           .orderBy("q_id", "rk")
       }),
+      // CANDIDATE (B = fanned scan) probes for the two sign-LSH queries
+      // that never got the tpar treatment — per-row bucket hashing is
+      // tables×planes×dim heavy, but the corpus derives 2x (l/r sides)
+      "q27_embed_neardup#tpar" -> (() =>
+        graft.operators.Similarity.cosineNearDupPairs(
+          t("embeddings").repartition(spark.sparkContext.defaultParallelism),
+          threshold = 0.8, tables = 12, planesPerTable = 10, md5Planes = true)
+          .orderBy("a_id", "b_id")),
+      "q29_ann_topk#tpar" -> (() => {
+        val emb = t("embeddings").repartition(spark.sparkContext.defaultParallelism)
+        graft.operators.Similarity.annTopK(emb, emb.filter(col("vec_id") < 20), 5,
+          tables = 32, planesPerTable = 5, md5Planes = true)
+          .orderBy("q_id", "rk")
+      }),
       // reconstruction of the ROUND-5 q08 self-join shape (two scans,
       // both sides shuffled on the join key, then a per-order aggregate)
       "q08_chain_selfjoin#oldselfjoin" -> (() => {
