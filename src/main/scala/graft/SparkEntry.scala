@@ -46,10 +46,12 @@ object SparkEntry {
     * count — NOT a constant: at production scale a 100 TB table scans as
     * thousands of splits, the gate holds and this is a no-op, so no extra
     * exchange is ever paid where the scan is already parallel. Applied
-    * SELECTIVELY (measured per query, round-6 A/B): only where the
-    * pre-exchange per-row work dominates — a blanket repartition costs a
-    * fixed exchange per scan-subtree re-derivation and loses on queries
-    * that read the table several ways. */
+    * SELECTIVELY (round-6 INTERLEAVED A/B, tools/AbProbe — separate-run
+    * A/B is invalid on this host, see OPTIMIZATION_r06.md): only where
+    * the pre-exchange per-row work dominates AND the scan subtree is
+    * effectively derived once — a repartition costs a fixed exchange per
+    * scan-subtree re-derivation and measured as a LOSS on every
+    * multi-derivation query (q24/q27/q29/q33/q48/q60 pairs in the doc). */
   private def tpar(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = t(spark, dir, name)
     val target = spark.sparkContext.defaultParallelism

@@ -698,7 +698,12 @@ object Dedup {
       .groupBy("doc_id").agg(min(col("m_id")).as("exact_id"))
     val iArr = incoming
       .select(col("doc_id").as("i_id"), shingleArr(col("text"), index.n).as("sh_i"))
-      .persist() // scanned twice: prefix ranking + verify re-attach
+      .persist() // scanned twice: prefix ranking + verify re-attach.
+      // CACHE CONTRACT (ADVICE r5): this per-slice cache has no release
+      // handle in the lazy return value — a slice-after-slice caller MUST
+      // clearCache()/unpersist between slices (Bench does; the index's own
+      // tables are released via ArchiveDedupIndex.unpersist when the
+      // snapshot rotates).
     val iToks = iArr
       .select(col("i_id"), size(col("sh_i")).as("sz"), explode(col("sh_i")).as("s"))
       .withColumn("h", xxhash64(col("s")))
