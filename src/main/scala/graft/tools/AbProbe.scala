@@ -234,6 +234,109 @@ object AbProbe {
           emb.filter(col("vec_id") < 20), k = 5, nprobe = 4)
           .orderBy("q_id", "rk")
       }),
+      // CANDIDATE (B): LAZY persist of the doubly-derived intermediate
+      // streams (no barrier — unlike the rejected eager pins); inline
+      // copies of the operator bodies with one .persist() added
+      "q47_lm_perplexity#bgpersist" -> (() => {
+        import graft.operators.TextOps
+        val docs = t("documents")
+        val bg = docs.select(col("doc_id"),
+          explode(element_at(transform(array(TextOps.tokens(col("text"))), tk =>
+            when(size(tk) >= 2,
+              transform(sequence(lit(1), size(tk) - 1),
+                i => concat_ws(" ", slice(tk, i, lit(2)))))
+              .otherwise(expr("array()").cast("array<string>"))), 1)).as("bg"))
+          .persist()
+        val bgDim = bg.groupBy("bg").agg(count(lit(1)).as("c"))
+          .withColumn("prev", element_at(split(col("bg"), " ", 2), 1))
+        val ctxDim = bgDim.groupBy("prev").agg(sum("c").as("ctx"))
+        val vocab = docs
+          .select(explode(TextOps.tokens(col("text"))).as("token"))
+          .agg(countDistinct(col("token")).as("v"))
+        val lpDim = bgDim.join(ctxDim, Seq("prev")).crossJoin(broadcast(vocab))
+          .select(col("bg"),
+            round(lit(1e6) *
+              log((col("c") + 1).cast("double") / (col("ctx") + col("v"))))
+              .cast("long").as("lp_micro"))
+        val perDoc = bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
+          .join(broadcast(lpDim), Seq("bg"))
+          .groupBy("doc_id").agg(
+            sum("cnt").as("n_bigrams"),
+            sum(col("cnt") * col("lp_micro")).as("ll_micro"))
+        docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            coalesce(col("ll_micro"), lit(0L)).as("ll_micro"),
+            round(exp(-col("ll_micro").cast("double") / lit(1e6) /
+              col("n_bigrams")), 6).as("ppl"))
+          .orderBy("doc_id")
+      }),
+      "q37_tfidf_topk#tfpersist" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.operators.TextOps
+        val docs = t("documents")
+        val nDocs = docs.count()
+        val tf = docs
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+          .persist()
+        val dfDim = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        val scored = tf.join(broadcast(dfDim), Seq("token"))
+          .withColumn("score",
+            round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+          .filter(col("score") > 0)
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("token"))
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select("doc_id", "token", "tf", "df", "score", "rk")
+          .withColumn("rk", col("rk").cast("long"))
+          .orderBy("doc_id", "rk")
+      }),
+      // CANDIDATE (B): ngramJaccardPairs WITHOUT the prep persist — the
+      // q37 probe showed an intermediate persist can cost 3x at this
+      // scale; check whether the PPJoin's cached shingle table still
+      // earns its keep (it feeds 4 subtrees)
+      "q24_jaccard_pairs#nopersist" -> (() => {
+        graft.functions.GraftExpressions.register(spark)
+        import graft.operators.{Dedup, TextOps}
+        val threshold = 0.5
+        val prep = t("documents").select(col("doc_id"),
+          Dedup.shingleArr(col("text"), 3).as("sh"))
+        val toks = prep
+          .select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
+          .withColumn("h", xxhash64(col("s")))
+        val freq = toks.groupBy("h").agg(count(lit(1)).as("f"))
+        val prefixToks = toks
+          .join(freq, Seq("h"))
+          .withColumn("r", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+              .orderBy(col("f"), col("h"), col("s"))))
+          .filter(col("r") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+          .select("doc_id", "sz", "h", "r")
+        val l = prefixToks.select(col("h"), col("doc_id").as("a_id"),
+          col("sz").as("a_sz"), col("r").as("ra"))
+        val r = prefixToks.select(col("h"), col("doc_id").as("b_id"),
+          col("sz").as("b_sz"), col("r").as("rb"))
+        val candIds = l.join(r, Seq("h"))
+          .filter(col("a_id") < col("b_id") &&
+            col("b_sz") >= lit(threshold) * col("a_sz") &&
+            col("a_sz") >= lit(threshold) * col("b_sz"))
+          .groupBy("a_id", "b_id", "a_sz", "b_sz")
+          .agg(min(col("ra")).as("mra"), min(col("rb")).as("mrb"))
+          .filter(least(col("a_sz") - col("mra"), col("b_sz") - col("mrb")) + 1 >=
+            ceil(lit(threshold / (1 + threshold)) * (col("a_sz") + col("b_sz")) - lit(1e-6)))
+          .select("a_id", "b_id")
+        val aArr = prep.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
+        val bArr = prep.select(col("doc_id").as("b_id"), col("sh").as("sh_b"))
+        candIds
+          .join(aArr, Seq("a_id"))
+          .join(bArr, Seq("b_id"))
+          .withColumn("jaccard", round(Dedup.jaccard(col("sh_a"), col("sh_b")), 6))
+          .filter(col("jaccard") >= threshold)
+          .select("a_id", "b_id", "jaccard")
+          .orderBy("a_id", "b_id")
+      }),
       // CANDIDATE (B = fanned scan) probes for the two sign-LSH queries
       // that never got the tpar treatment — per-row bucket hashing is
       // tables×planes×dim heavy, but the corpus derives 2x (l/r sides)
