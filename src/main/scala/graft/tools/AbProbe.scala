@@ -153,6 +153,22 @@ object AbProbe {
           .toDF("doc_id", "fp")
           .orderBy("doc_id", "fp")
       }),
+      "q32_media_features" -> (() => {
+        import graft.operators.Multimodal
+        val media = Multimodal.mediaFromDocs(t("documents"))
+        val sniffed = Multimodal.withSniffedMime(media.toDF())
+        val feats = Multimodal.extractFeatures(media).toDF()
+        sniffed.select(col("media_id"), col("kind"), col("sniffed_mime"),
+            col("byte_size"))
+          .join(feats.select(col("media_id"),
+            round(element_at(col("features"), 1).cast("double"), 6).as("f0")),
+            Seq("media_id"))
+          .groupBy("kind", "sniffed_mime")
+          .agg(count(lit(1)).as("cnt"),
+            round(avg(col("byte_size")), 2).as("avg_bytes"),
+            round(avg(col("f0")), 6).as("avg_f0"))
+          .orderBy("kind")
+      }),
       "q34_repetition_stats" -> (() =>
         graft.operators.Corpus.repetitionStats(t("documents"), maxFrac = 0.2)
           .orderBy("doc_id")),
